@@ -1,0 +1,128 @@
+"""Power-spectrum dictionary algebra and CAMB file IO.
+
+Pure numpy (these are config-time operations on O(lmax) arrays); the hot per-multipole work
+lives in :mod:`plancklens_tpu.ops`.
+
+Behaviour matched to the reference helpers:
+ - camb_clfile      (reference: plancklens/utils.py:307-333)
+ - cli              (reference: plancklens/utils.py:132-138)
+ - joincls          (reference: plancklens/utils.py:140-142)
+ - cl_inverse       (reference: plancklens/utils.py:336-374)
+ - cls_dot          (reference: plancklens/utils.py:376-409)
+"""
+import numpy as np
+
+_TEB = ('t', 'e', 'b')
+_KEYS6 = ('tt', 'ee', 'bb', 'te', 'tb', 'eb')
+
+
+def camb_clfile(fname, lmax=None):
+    """Load a CAMB spectra file (lensedCls / lenspotentialCls / tensCls layout) as a dict.
+
+    Columns are D_l = l(l+1)C_l/2pi for TT EE BB TE; lens-potential files add
+    [l(l+1)]^2 C^pp/2pi and [l(l+1)]^{3/2} C^pT, C^pE / 2pi.
+    """
+    cols = np.loadtxt(fname).transpose()
+    ell = cols[0].astype(int)
+    if lmax is None:
+        lmax = ell[-1]
+    assert ell[-1] >= lmax, (ell[-1], lmax)
+    cls = {k: np.zeros(lmax + 1, dtype=float) for k in ['tt', 'ee', 'bb', 'te']}
+    w = ell * (ell + 1) / (2. * np.pi)
+    idc = np.where(ell <= lmax)
+    for i, k in enumerate(['tt', 'ee', 'bb', 'te']):
+        cls[k][ell[idc]] = cols[i + 1][idc] / w[idc]
+    if len(cols) > 5:
+        lf = ell[idc].astype(float)
+        cls['pp'] = np.zeros(lmax + 1, dtype=float)
+        cls['pt'] = np.zeros(lmax + 1, dtype=float)
+        cls['pe'] = np.zeros(lmax + 1, dtype=float)
+        cls['pp'][ell[idc]] = cols[5][idc] / (lf ** 2 * (lf + 1.) ** 2 / (2. * np.pi))
+        cls['pt'][ell[idc]] = cols[6][idc] / (np.sqrt(lf ** 3 * (lf + 1.) ** 3) / (2. * np.pi))
+        cls['pe'][ell[idc]] = cols[7][idc] / (np.sqrt(lf ** 3 * (lf + 1.) ** 3) / (2. * np.pi))
+    return cls
+
+
+def cli(cl):
+    """Pseudo-inverse of a cl array: 1/cl where cl > 0, else 0."""
+    ret = np.zeros_like(cl)
+    ii = cl > 0
+    ret[ii] = 1. / cl[ii]
+    return ret
+
+
+def clinv(cl):
+    """Pseudo-inverse where cl != 0 (signed version of :func:`cli`)."""
+    ret = np.zeros_like(cl)
+    ii = cl != 0
+    ret[ii] = 1. / cl[ii]
+    return ret
+
+
+def joincls(cls_list):
+    """Elementwise product of cl arrays, truncated to the shortest one."""
+    lmaxp1 = np.min([len(cl) for cl in cls_list])
+    ret = cls_list[0][:lmaxp1].copy()
+    for cl in cls_list[1:]:
+        ret = ret * cl[:lmaxp1]
+    return ret
+
+
+def extcl(lmax, cl):
+    """Zero-pad or truncate a cl array to lmax + 1 entries."""
+    if len(cl) - 1 < lmax:
+        ret = np.zeros(lmax + 1, dtype=cl.dtype if hasattr(cl, 'dtype') else float)
+        ret[:len(cl)] = cl
+        return ret
+    return cl[:lmax + 1]
+
+
+def cldict2arr(cls_dict):
+    """(3, 3, lmax+1) TEB spectral-matrix array from a cls dict (missing keys are zero)."""
+    lmaxp1 = np.max([len(cl) for cl in cls_dict.values()])
+    ret = np.zeros((3, 3, lmaxp1), dtype=float)
+    for i, x in enumerate(_TEB):
+        for j, y in enumerate(_TEB):
+            ret[i, j] = extcl(lmaxp1 - 1, np.atleast_1d(
+                cls_dict.get(x + y, cls_dict.get(y + x, np.array([0.])))))
+    return ret
+
+
+def arr2cldict(arr):
+    """Inverse of :func:`cldict2arr`, dropping identically-zero entries."""
+    clsi = {}
+    for k, (i, j) in zip(_KEYS6, [(0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2)]):
+        a = arr[i, j].copy()
+        if np.any(a):
+            clsi[k] = a
+    return clsi
+
+
+def cls_dot(cls_list, ret_dict=False):
+    """Product of TEB spectral matrices (dicts or (3,3,lmax+1) arrays), per multipole."""
+    arrs = [cldict2arr(c) if isinstance(c, dict) else c for c in cls_list]
+    lmaxp1 = min(a.shape[-1] for a in arrs)
+    ret = arrs[0][:, :, :lmaxp1]
+    for a in arrs[1:]:
+        ret = np.einsum('ikl,kjl->ijl', ret, a[:, :, :lmaxp1])
+    return arr2cldict(ret) if ret_dict else ret
+
+
+def cl_inverse(cls):
+    """Per-multipole pseudo-inverse of the 3x3 TEB spectral matrix, as a dict."""
+    lmax = np.max([len(cl) for cl in cls.values()]) - 1
+    clsm = np.zeros((lmax + 1, 3, 3))
+    get = lambda k: extcl(lmax, np.atleast_1d(np.asarray(cls.get(k, [0.]), dtype=float)))
+    clsm[:, 0, 0] = get('tt')
+    clsm[:, 1, 1] = get('ee')
+    clsm[:, 2, 2] = get('bb')
+    clsm[:, 0, 1] = clsm[:, 1, 0] = get('te')
+    clsm[:, 0, 2] = clsm[:, 2, 0] = get('tb')
+    clsm[:, 1, 2] = clsm[:, 2, 1] = get('eb')
+    clsmi = np.linalg.pinv(clsm)
+    clsi = {}
+    for k, (i, j) in zip(_KEYS6, [(0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2)]):
+        arr = clsmi[:, i, j].copy()
+        if np.any(arr):
+            clsi[k] = arr
+    return clsi
