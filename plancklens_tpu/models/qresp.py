@@ -1,0 +1,266 @@
+r"""Analytic QE responses.
+
+QE keys (same grammar as the reference, cf. plancklens/qresp.py:1-31):
+  sources: 'p' lensing gradient, 'x' lensing curl, 's' point sources, 'f' modulation,
+  'a' polarisation rotation; maps: 'tt' (T only), '_p' (pol only), '' (MV/GMV), explicit
+  pairs 'te', '_eb', ...; bias-hardening via '_bh_' infix ('ptt_bh_s').
+
+The response of QE key k to source S is assembled from double spin sums of Wigner-space
+convolutions (`wignerc`) of the QE weights, the filtering matrix and the covariance response
+(reference: plancklens/qresp.py:269-312, 376-418). Here each `wignerc` is a pair of batched
+matmuls against cached Wigner-d matrices on the GL grid (see plancklens_tpu.ops.wigner).
+"""
+import numpy as np
+
+from ..utils.cls import joincls, cli, clinv
+from ..ops.wigner import wignerc
+from . import spin as uspin
+from .qe import qeleg, qe, qe_simplify, qe_proj
+
+
+def get_qes(qe_key, lmax, cls_weight, lmax2=None, transf=None):
+    """Symbolic QE weights for a QE key, acting on inverse-variance filtered spin fields
+    (reference behaviour: plancklens/qresp.py:50-101)."""
+    if lmax2 is None:
+        lmax2 = lmax
+    if qe_key[0] in ['p', 'x', 'a', 'f', 's']:
+        if qe_key in ['ptt', 'xtt', 'att', 'ftt', 'stt']:
+            s_lefts = [0]
+        elif qe_key in ['p_p', 'x_p', 'a_p', 'f_p']:
+            s_lefts = [-2, 2]
+        else:
+            s_lefts = [0, -2, 2]
+        qes = []
+        s_rights_in = s_lefts
+        for s_left in s_lefts:
+            for sin in s_rights_in:
+                sout = -s_left
+                s_qe, irr1, cl_sosi, cL_out = get_covresp(qe_key[0], sout, sin, cls_weight,
+                                                          lmax2, transf=transf)
+                if np.any(cl_sosi):
+                    lega = qeleg(s_left, s_left,
+                                 0.5 * (1. + (s_left == 0)) * np.ones(lmax + 1, dtype=float))
+                    legb = qeleg(sin, sout + s_qe, 0.5 * (1. + (sin == 0)) * 2 * cl_sosi)
+                    qes.append(qe(lega, legb, cL_out))
+        if len(qe_key) == 1 or qe_key[1:] in ['tt', '_p']:
+            return qe_simplify(qes)
+        elif qe_key[1:] in ['te', 'et', 'tb', 'bt', 'ee', 'eb', 'be', 'bb']:
+            return qe_simplify(qe_proj(qes, qe_key[1], qe_key[2]))
+        elif qe_key[1:] in ['_te', '_tb', '_eb']:
+            return qe_simplify(qe_proj(qes, qe_key[2], qe_key[3])
+                               + qe_proj(qes, qe_key[3], qe_key[2]))
+        else:
+            assert 0, 'qe key %s not recognized' % qe_key
+    elif qe_key in ['ntt']:
+        # noise-variance estimator: inverse-beam weights on both legs
+        # (reference: plancklens/qresp.py:88-92)
+        assert transf is not None
+        lega = qeleg(0, 0, clinv(np.asarray(transf)[:lmax + 1]))
+        legb = qeleg(0, 0, 0.5 * clinv(np.asarray(transf)[:lmax + 1]))
+        return qe_simplify([qe(lega, legb, lambda L: np.ones(len(L), dtype=float))])
+    elif qe_key in ['ktt']:
+        # 'kappa-tt' BFK-type estimator (reference: plancklens/qresp.py:93-99)
+        ls = np.arange(1, lmax + 3)
+        dlnDldlnl = ls[:-1] * np.diff(np.log(cls_weight['tt'][ls] * ls * (ls + 1)))
+        lega = qeleg(0, 0, np.ones(lmax + 1, dtype=float))
+        legb = qeleg(0, 0, 0.5 * cls_weight['tt'][:lmax + 1] * dlnDldlnl)
+        return qe_simplify([qe(lega, legb, lambda L: -L * (L + 1.))])
+    assert 0, qe_key + ' not implemented'
+
+
+def get_resp_legs(source, lmax):
+    r"""Per-spin harmonic response of a CMB map to an anisotropy source: 4-tuple
+    (source spin r, response for +r, response for -r, G/C -> potential scaling)
+    (reference: plancklens/qresp.py:104-133)."""
+    lmax_ = lmax
+    if source in ['p', 'x']:
+        return {s: (1, -0.5 * uspin.get_spin_lower(s, lmax_),
+                    -0.5 * uspin.get_spin_raise(s, lmax_),
+                    lambda ell: uspin.get_spin_raise(0, np.max(ell))[ell])
+                for s in [0, -2, 2]}
+    if source == 'f':
+        return {s: (0, 0.5 * np.ones(lmax_ + 1), 0.5 * np.ones(lmax_ + 1),
+                    lambda ell: np.ones(len(ell), dtype=float)) for s in [0, -2, 2]}
+    if source in ['a', 'a_p']:
+        ret = {s: (0, -np.sign(s) * 1j * np.ones(lmax_ + 1),
+                   -np.sign(s) * 1j * np.ones(lmax_ + 1),
+                   lambda ell: np.ones(len(ell), dtype=float)) for s in [-2, 2]}
+        ret[0] = (0, np.zeros(lmax_ + 1), np.zeros(lmax_ + 1),
+                  lambda ell: np.ones(len(ell), dtype=float))
+        return ret
+    assert 0, source + ' response legs not implemented'
+
+
+def get_covresp(source, s1, s2, cls, lmax, transf=None):
+    r"""Response of the spin-(s1, s2) CMB covariance to the anisotropy source
+    (reference: plancklens/qresp.py:135-163)."""
+    if source in ['p', 'x', 'f', 'a', 'a_p']:
+        s_source, prR, mrR, cL_scal = get_resp_legs(source, lmax)[s1]
+        coupl = uspin.spin_cls(s1, s2, cls)[:lmax + 1]
+        return s_source, prR * coupl, mrR * coupl, cL_scal
+    elif source in ['stt', 's']:
+        cond = s1 == 0 and s2 == 0
+        unit = 0.25 * cond * np.ones(lmax + 1, dtype=float)
+        return 0, unit, unit.copy(), lambda ell: np.ones(len(ell), dtype=float)
+    assert 0, 'source ' + source + ' cov. response not implemented'
+
+
+def qe_spin_data(qe_key):
+    """(output spin, 'G'/'C', input spins, spin-1 source key) for a QE key
+    (reference: plancklens/qresp.py:165-180)."""
+    if qe_key in ['ntt']:
+        return 0, 'G', [0], 'n'
+    qes = get_qes(qe_key, 10, {k: np.ones(15, dtype=float) for k in ['tt', 'te', 'ee', 'bb']})
+    spins_out = [q.leg_a.spin_ou + q.leg_b.spin_ou for q in qes]
+    spins_in = np.unique(np.abs([q.leg_a.spin_in for q in qes]
+                                + [q.leg_b.spin_in for q in qes]))
+    assert len(np.unique(spins_out)) == 1, spins_out
+    assert spins_out[0] >= 0, spins_out[0]
+    if spins_out[0] > 0:
+        assert qe_key[0] in ['x', 'p'], 'non-zero spin QE ' + qe_key + ' not implemented?'
+    return spins_out[0], 'C' if qe_key[0] == 'x' else 'G', spins_in, \
+        'p' if qe_key[0] == 'x' else qe_key[0]
+
+
+def get_response(qe_key, lmax_ivf, source, cls_weight, cls_cmb, fal, fal_leg2=None,
+                 lmax_ivf2=None, lmax_qlm=None, transf=None):
+    r"""Isotropic QE response 4-tuple (R^GG, R^CC, R^GC, R^CG)
+    (reference: plancklens/qresp.py:269-312).
+
+    Args mirror the reference: `cls_weight` enters the QE weights, `cls_cmb` the CMB
+    covariance response, `fal` the isotropic filtering spectra (1/(C+N/b^2)-style).
+    """
+    if lmax_ivf2 is None:
+        lmax_ivf2 = lmax_ivf
+    if lmax_qlm is None:
+        lmax_qlm = lmax_ivf + lmax_ivf2
+    if '_bh_' in qe_key:
+        k, hsource = qe_key.split('_bh_')
+        assert len(hsource) == 1, hsource
+        h = hsource[0]
+        kw = dict(fal_leg2=fal_leg2, lmax_ivf2=lmax_ivf2, lmax_qlm=lmax_qlm, transf=transf)
+        R_ks = get_response(k, lmax_ivf, source, cls_weight, cls_cmb, fal, **kw)
+        R_hs = get_response(h + k[1:], lmax_ivf, source, cls_weight, cls_cmb, fal, **kw)
+        R_kh = get_response(k, lmax_ivf, h, cls_weight, cls_cmb, fal, **kw)
+        R_hh = get_response(h + k[1:], lmax_ivf, h, cls_weight, cls_cmb, fal, **kw)
+        GG_ks, CC_ks, GC_ks, CG_ks = R_ks
+        GG_hs, CC_hs, GC_hs, CG_hs = R_hs
+        GG_kh, CC_kh, GC_kh, CG_kh = R_kh
+        GG_hh, CC_hh, GC_hh, CG_hh = R_hh
+        RGG = GG_ks - (GG_kh * GG_hs * cli(GG_hh) + GC_kh * CG_hs * cli(CC_hh))
+        RCC = CC_ks - (CG_kh * GC_hs * cli(GG_hh) + CC_kh * CC_hs * cli(CC_hh))
+        RGC = GC_ks - (GG_kh * GC_hs * cli(GG_hh) + GC_kh * CC_hs * cli(CC_hh))
+        RCG = CG_ks - (CG_kh * GG_hs * cli(GG_hh) + CC_kh * CG_hs * cli(CC_hh))
+        return RGG, RCC, RGC, RCG
+
+    qes = get_qes(qe_key, lmax_ivf, cls_weight, lmax2=lmax_ivf2, transf=transf)
+    if 'tt' in qe_key and source in ['n', 'ntt']:
+        return _get_response_ntt(qes, fal, lmax_qlm, fal_leg2=fal_leg2, transf=transf)
+    return _get_response(qes, source, cls_cmb, fal, lmax_qlm, fal_leg2=fal_leg2)
+
+
+def _get_response(qes, source, cls_cmb, fal_leg1, lmax_qlm, fal_leg2=None):
+    """Double spin-sum assembly of the response (reference: plancklens/qresp.py:376-418)."""
+    fal_leg2 = fal_leg1 if fal_leg2 is None else fal_leg2
+    RGG = np.zeros(lmax_qlm + 1, dtype=float)
+    RCC = np.zeros(lmax_qlm + 1, dtype=float)
+    RGC = np.zeros(lmax_qlm + 1, dtype=float)
+    RCG = np.zeros(lmax_qlm + 1, dtype=float)
+    Ls = np.arange(lmax_qlm + 1, dtype=int)
+    for q in qes:
+        si, ti = (q.leg_a.spin_in, q.leg_b.spin_in)
+        so, to = (q.leg_a.spin_ou, q.leg_b.spin_ou)
+        for s2 in [0, -2, 2]:
+            FA = uspin.get_spin_matrix(si, s2, fal_leg1)
+            if not np.any(FA):
+                continue
+            for t2 in [0, -2, 2]:
+                FB = uspin.get_spin_matrix(ti, t2, fal_leg2)
+                if not np.any(FB):
+                    continue
+                rW_st, prW_st, mrW_st, s_cL_st = get_covresp(source, -s2, t2, cls_cmb,
+                                                             len(FB) - 1)
+                clA = joincls([q.leg_a.cl, FA])
+                clB = joincls([q.leg_b.cl, FB, mrW_st.conj()])
+                Rpr_st = wignerc(clA, clB, so, s2, to, -s2 + rW_st, lmax_out=lmax_qlm) \
+                    * s_cL_st(Ls)
+
+                rW_ts, prW_ts, mrW_ts, s_cL_ts = get_covresp(source, -t2, s2, cls_cmb,
+                                                             len(FA) - 1)
+                clA = joincls([q.leg_a.cl, FA, mrW_ts.conj()])
+                clB = joincls([q.leg_b.cl, FB])
+                Rpr_st = Rpr_st + wignerc(clA, clB, so, -t2 + rW_ts, to, t2,
+                                          lmax_out=lmax_qlm) * s_cL_ts(Ls)
+                assert rW_st == rW_ts and rW_st >= 0, (rW_st, rW_ts)
+                if rW_st > 0:
+                    clA = joincls([q.leg_a.cl, FA])
+                    clB = joincls([q.leg_b.cl, FB, prW_st.conj()])
+                    Rmr_st = wignerc(clA, clB, so, s2, to, -s2 - rW_st,
+                                     lmax_out=lmax_qlm) * s_cL_st(Ls)
+                    clA = joincls([q.leg_a.cl, FA, prW_ts.conj()])
+                    clB = joincls([q.leg_b.cl, FB])
+                    Rmr_st = Rmr_st + wignerc(clA, clB, so, -t2 - rW_ts, to, t2,
+                                              lmax_out=lmax_qlm) * s_cL_ts(Ls)
+                else:
+                    Rmr_st = Rpr_st
+                prefac = q.cL(Ls)
+                RGG += prefac * (Rpr_st.real + Rmr_st.real * (-1) ** rW_st)
+                RCC += prefac * (Rpr_st.real - Rmr_st.real * (-1) ** rW_st)
+                RGC += prefac * (-Rpr_st.imag + Rmr_st.imag * (-1) ** rW_st)
+                RCG += prefac * (Rpr_st.imag + Rmr_st.imag * (-1) ** rW_st)
+    return RGG, RCC, RGC, RCG
+
+
+def _get_response_ntt(qes, fal_leg1, lmax_qlm, fal_leg2=None, transf=None):
+    """Response of TT-like QEs to the noise-variance source 'ntt'
+    (reference: plancklens/qresp.py:315-361)."""
+    assert transf is not None
+    fal_leg2 = fal_leg1 if fal_leg2 is None else fal_leg2
+    RGG = np.zeros(lmax_qlm + 1, dtype=float)
+    RCC = np.zeros(lmax_qlm + 1, dtype=float)
+    RGC = np.zeros(lmax_qlm + 1, dtype=float)
+    RCG = np.zeros(lmax_qlm + 1, dtype=float)
+    Ls = np.arange(lmax_qlm + 1, dtype=int)
+    transfi = clinv(np.asarray(transf, dtype=float))
+    for q in qes:
+        si, ti = (q.leg_a.spin_in, q.leg_b.spin_in)
+        so, to = (q.leg_a.spin_ou, q.leg_b.spin_ou)
+        assert (si, ti) == (0, 0)
+        s_qe = abs(so + to)
+        FA = uspin.get_spin_matrix(si, 0, fal_leg1)
+        FB = uspin.get_spin_matrix(ti, 0, fal_leg2)
+        if not (np.any(FA) and np.any(FB)):
+            continue
+        clA = joincls([q.leg_a.cl, FA, transfi])
+        clB = joincls([q.leg_b.cl, FB, transfi])
+        Rpr_st = wignerc(clA, clB, so, 0, to, 0, lmax_out=lmax_qlm)
+        if s_qe > 0:
+            fac = (-1) ** (so + si + to + ti)
+            FA = uspin.get_spin_matrix(-si, 0, fal_leg1)
+            FB = uspin.get_spin_matrix(-ti, 0, fal_leg2)
+            clA = joincls([np.conj(q.leg_a.cl), FA, transfi])
+            clB = joincls([np.conj(q.leg_b.cl), FB, transfi])
+            Rmr_st = fac * wignerc(clA, clB, -so, 0, -to, 0, lmax_out=lmax_qlm)
+        else:
+            Rmr_st = Rpr_st
+        prefac = 0.5 * q.cL(Ls)
+        Rpr = np.atleast_1d(Rpr_st)
+        Rmr = np.atleast_1d(Rmr_st)
+        RGG += prefac * (Rpr.real + Rmr.real * (-1) ** s_qe)
+        RCC += prefac * (Rpr.real - Rmr.real * (-1) ** s_qe)
+        RGC += prefac * (-np.imag(Rpr) + np.imag(Rmr) * (-1) ** s_qe)
+        RCG += prefac * (np.imag(Rpr) + np.imag(Rmr) * (-1) ** s_qe)
+    return RGG, RCC, RGC, RCG
+
+
+def get_dresponse_dlncl(qe_key, l, cl_key, lmax_ivf, source, cls_weight, cls_cmb, fal_leg1,
+                        fal_leg2=None, lmax_ivf2=None, lmax_out=None):
+    """dR_L / dln C_l (reference: plancklens/qresp.py:364-374)."""
+    if lmax_ivf2 is None:
+        lmax_ivf2 = lmax_ivf
+    if lmax_out is None:
+        lmax_out = lmax_ivf2 + lmax_ivf
+    dcls_cmb = {k: np.zeros_like(cls_cmb[k]) for k in cls_cmb.keys()}
+    dcls_cmb[cl_key][l] = cls_cmb[cl_key][l]
+    qes = get_qes(qe_key, lmax_ivf, cls_weight, lmax2=lmax_ivf2)
+    return _get_response(qes, source, dcls_cmb, fal_leg1, lmax_out, fal_leg2=fal_leg2)
