@@ -1,0 +1,176 @@
+r"""Core spin-weighted Legendre engine.
+
+Computes, for all m >= 0 and all rings theta_j simultaneously,
+
+    synthesis:  G_{jm} = sum_l C_{lm} d^l_{m,n}(theta_j)
+    analysis:   C_{lm} = sum_j Q_{jm} d^l_{m,n}(theta_j)
+
+via a single `lax.scan` over l running the Wigner-d three-term recursion, vectorised over
+(rings x m) and batched over fields. The spin-weighted spherical harmonics are
+_sY_lm = sqrt((2l+1)/4pi) d^l_{m,-s}(theta) e^{im phi}, so these two primitives plus ring
+FFTs implement spin-s SHTs on any iso-latitude grid.
+
+This is the TPU replacement for the per-ring OpenMP recursions inside healpy/libsharp
+(reference dispatch: plancklens/shts.py). Numerical stability at high m follows the
+libsharp approach: the recursion state carries a per-(ring, m) power-of-2^S exponent so
+sin^m(theta/2)-type underflow in the seed value is represented exactly and values
+re-entering the dynamic range are recovered ("scaled recursion").
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+from functools import partial
+from scipy.special import gammaln
+
+_TABLE_CACHE = {}
+_TABLE_CACHE_MAX = 8
+
+
+def clear_cache():
+    _TABLE_CACHE.clear()
+
+
+def _xi_sign(m, n):
+    return -1.0 if (m > n and (m - n) % 2 == 1) else 1.0
+
+
+def recursion_tables(lmax, mmax, n, theta, grid_token=None, dtype=np.float64):
+    """Per-(l, m) recursion coefficients and scaled seed values for d^l_{m, n}(theta).
+
+    Returns dict with:
+      alpha, beta, gamma: (lmax+1, mmax+1) float arrays; step l -> l+1 reads row l
+      l0:       (mmax+1,) int32, first nonzero degree max(m, |n|)
+      seed_v:   (nrings, mmax+1) scaled seed value at l = l0(m)
+      seed_k:   (nrings, mmax+1) int32 exponent: true seed = seed_v * 2^(S k)
+      S:        exponent chunk size
+    """
+    key = None
+    if grid_token is not None:
+        key = (lmax, mmax, n, grid_token, np.dtype(dtype).str)
+        if key in _TABLE_CACHE:
+            return _TABLE_CACHE[key]
+    ls = np.arange(lmax + 1, dtype=np.float64)[:, None]
+    ms = np.arange(mmax + 1, dtype=np.float64)[None, :]
+    l0 = np.maximum(np.abs(n), np.arange(mmax + 1)).astype(np.int64)
+    with np.errstate(divide='ignore', invalid='ignore'):
+        D = ls * np.sqrt(((ls + 1.) ** 2 - ms ** 2) * ((ls + 1.) ** 2 - float(n) ** 2))
+        alpha = (2. * ls + 1.) * ls * (ls + 1.) / D
+        beta = -(2. * ls + 1.) * ms * float(n) / D
+        gamma = (ls + 1.) * np.sqrt((ls ** 2 - ms ** 2) * (ls ** 2 - float(n) ** 2)) / D
+    # rows below l0(m) - and the l = 0 row when l0 = 0 - are never used meaningfully;
+    # zero them (the l0=0, l=0 case is the Legendre start d^1_00 = x d^0_00)
+    invalid = ls < np.maximum(l0[None, :], 1)
+    for arr, fill in ((alpha, 0.), (beta, 0.), (gamma, 0.)):
+        arr[invalid] = fill
+        arr[~np.isfinite(arr)] = 0.
+    if n == 0 and mmax >= 0:
+        # explicit l=0 step for the m=0 Legendre branch: d^1 = x d^0
+        if l0[0] == 0:
+            alpha[0, 0] = 1.
+            beta[0, 0] = 0.
+            gamma[0, 0] = 0.
+
+    # scaled seeds: d^{l0}_{m n} = xi sqrt(binom(a+b, a)) sin^a(theta/2) cos^b(theta/2)
+    S = 256 if np.dtype(dtype) == np.float64 else 64
+    a = np.abs(ms - n)
+    b = np.abs(ms + n)
+    lnr0 = 0.5 * (gammaln(a + b + 1.) - gammaln(a + 1.) - gammaln(b + 1.))
+    lnsin = np.log(np.sin(0.5 * np.asarray(theta, dtype=np.float64)))[:, None]
+    lncos = np.log(np.cos(0.5 * np.asarray(theta, dtype=np.float64)))[:, None]
+    log2v = (lnr0 + a * lnsin + b * lncos) / np.log(2.)
+    xi = np.array([_xi_sign(int(m), n) for m in range(mmax + 1)])[None, :]
+    seed_k = np.minimum(np.floor(log2v / S), 0.).astype(np.int32)
+    seed_v = (xi * np.exp2(log2v - S * seed_k.astype(np.float64))).astype(dtype)
+    out = dict(alpha=alpha.astype(dtype), beta=beta.astype(dtype),
+               gamma=gamma.astype(dtype), l0=l0.astype(np.int32),
+               seed_v=seed_v, seed_k=seed_k, S=S)
+    if key is not None:
+        if len(_TABLE_CACHE) >= _TABLE_CACHE_MAX:
+            _TABLE_CACHE.pop(next(iter(_TABLE_CACHE)))
+        _TABLE_CACHE[key] = out
+    return out
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _legendre_scan(mode, S, C_or_Q, alpha, beta, gamma, l0, seed_v, seed_k, x):
+    """Scan over l of the scaled d-recursion.
+
+    mode 'synth':  C_or_Q (batch, lmax+1, mmax+1) -> G (batch, nrings, mmax+1)
+    mode 'anal':   C_or_Q (batch, nrings, mmax+1) -> C (batch, lmax+1, mmax+1)
+    x: (nrings,) = cos(theta). All d-state in the dtype of seed_v.
+    """
+    lmaxp1 = alpha.shape[0]
+    nrings = x.shape[0]
+    mmaxp1 = alpha.shape[1]
+    rdtype = seed_v.dtype
+    batch = C_or_Q.shape[0]
+    xcol = x.astype(rdtype)[:, None]
+    thresh = jnp.asarray(2.0 ** (S // 2), dtype=rdtype)
+    down = jnp.asarray(2.0 ** (-S), dtype=rdtype)
+
+    d_m1 = jnp.zeros((nrings, mmaxp1), dtype=rdtype)
+    d = jnp.where(l0[None, :] == 0, seed_v, jnp.zeros((nrings, mmaxp1), rdtype))
+    k = jnp.where(l0[None, :] == 0, seed_k, jnp.zeros((nrings, mmaxp1), jnp.int32))
+
+    def recurse(l, d_m1, d, k, al, bl, gl):
+        """One scaled recursion step l -> l+1 with seed injection at l+1 == l0(m)."""
+        d_next = (al[None, :] * xcol + bl[None, :]) * d - gl[None, :] * d_m1
+        inject = (l + 1) == l0[None, :]
+        d_new = jnp.where(inject, jnp.zeros_like(d), d)
+        d_next = jnp.where(inject, seed_v, d_next)
+        k = jnp.where(inject, seed_k, k)
+        cond = (k < 0) & (jnp.abs(d_next) > thresh)
+        fac = jnp.where(cond, down, jnp.ones_like(d_next))
+        return d_new * fac, d_next * fac, k + cond.astype(jnp.int32)
+
+    ls = jnp.arange(lmaxp1, dtype=jnp.int32)
+    if mode == 'synth':
+        acc0 = jnp.zeros((batch, nrings, mmaxp1), dtype=C_or_Q.dtype)
+
+        def step_s(carry, xs):
+            l, al, bl, gl, Cl = xs
+            d_m1, d, k, acc = carry
+            deff = d * jnp.exp2((S * k).astype(rdtype))
+            acc = acc + Cl[:, None, :] * deff[None, :, :]
+            d_m1, d, k = recurse(l, d_m1, d, k, al, bl, gl)
+            return (d_m1, d, k, acc), None
+
+        xs = (ls, alpha, beta, gamma, jnp.moveaxis(C_or_Q, 1, 0))
+        (_, _, _, acc), _ = jax.lax.scan(step_s, (d_m1, d, k, acc0), xs)
+        return acc
+    else:
+        Q = C_or_Q  # (batch, nrings, mmaxp1)
+
+        def step_a(carry, xs):
+            l, al, bl, gl = xs
+            d_m1, d, k = carry
+            deff = d * jnp.exp2((S * k).astype(rdtype))
+            emit = jnp.einsum('brm,rm->bm', Q, deff)
+            d_m1, d, k = recurse(l, d_m1, d, k, al, bl, gl)
+            return (d_m1, d, k), emit
+
+        _, emits = jax.lax.scan(step_a, (d_m1, d, k), (ls, alpha, beta, gamma))
+        return jnp.moveaxis(emits, 0, 1)  # (batch, lmax+1, mmaxp1)
+
+
+def legendre_synth(C, n, theta, grid_token=None, dtype=np.float64):
+    """G_{jm} = sum_l C_{lm} d^l_{m,n}(theta_j); C (batch, lmax+1, mmax+1) complex or real."""
+    lmax = C.shape[-2] - 1
+    mmax = C.shape[-1] - 1
+    t = recursion_tables(lmax, mmax, n, theta, grid_token=grid_token, dtype=dtype)
+    x = np.cos(np.asarray(theta))
+    return _legendre_scan('synth', t['S'], jnp.asarray(C), jnp.asarray(t['alpha']),
+                          jnp.asarray(t['beta']), jnp.asarray(t['gamma']),
+                          jnp.asarray(t['l0']), jnp.asarray(t['seed_v']),
+                          jnp.asarray(t['seed_k']), jnp.asarray(x))
+
+
+def legendre_anal(Q, n, theta, lmax, grid_token=None, dtype=np.float64):
+    """C_{lm} = sum_j Q_{jm} d^l_{m,n}(theta_j); Q (batch, nrings, mmax+1)."""
+    mmax = Q.shape[-1] - 1
+    t = recursion_tables(lmax, mmax, n, theta, grid_token=grid_token, dtype=dtype)
+    x = np.cos(np.asarray(theta))
+    return _legendre_scan('anal', t['S'], jnp.asarray(Q), jnp.asarray(t['alpha']),
+                          jnp.asarray(t['beta']), jnp.asarray(t['gamma']),
+                          jnp.asarray(t['l0']), jnp.asarray(t['seed_v']),
+                          jnp.asarray(t['seed_k']), jnp.asarray(x))

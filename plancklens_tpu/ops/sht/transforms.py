@@ -1,0 +1,164 @@
+r"""Spin-s spherical harmonic transforms on iso-latitude ring geometries.
+
+Replaces healpy/lenspyx `alm2map(_spin)` / `map2alm(_spin)` (reference:
+plancklens/shts.py:4-35) with a two-phase TPU pipeline:
+  (1) Legendre phase: the spin-weighted recursion engine (core.py), one lax.scan over l
+      vectorised over (rings x m) and batched over fields;
+  (2) longitude phase: one batched FFT over rings (uniform nphi).
+
+Conventions (matching healpy's, as relied on by the reference's spin algebra,
+cf. plancklens/utils_spin.py:1-34):
+  _sY_lm = sqrt((2l+1)/4pi) d^l_{m,-s}(theta) e^{im phi}
+  _{+s}a_lm = -(g_lm + i c_lm),   _{-s}a_lm = -(-1)^s (g_lm - i c_lm)
+  alm2map_spin((g, c), s) = (re, im) of _sf = sum_lm (_s a_lm) _sY_lm
+  spin 0: map = sum_lm (-t_lm) Y_lm is NOT applied here: alm2map(tlm) uses +t_lm like
+  healpy; the -T convention lives in the QE layer exactly as in the reference.
+
+map2alm uses the geometry quadrature weights: exact on the GL grid for band-limited input
+(no healpy iteration needed).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+from functools import partial
+
+from ...utils import alm as ualm
+from .core import legendre_synth, legendre_anal
+from .geometry import RingGeometry, gl_geometry
+
+
+def _facl(lmax):
+    return np.sqrt((2. * np.arange(lmax + 1) + 1.) / (4. * np.pi))
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _to_rings(Fp, Fm, nphi, phi0):
+    """Assemble FFT bins and synthesize rings: f_k = sum_m Fp e^{im phi_k} + Fm e^{-im phi_k}."""
+    batch, nrings, mmaxp1 = Fp.shape
+    m = jnp.arange(mmaxp1)
+    if phi0 != 0.:
+        rot = jnp.exp(1j * m * phi0)
+        Fp = Fp * rot
+        Fm = Fm * jnp.conj(rot)
+    X = jnp.zeros((batch, nrings, nphi), dtype=jnp.complex128
+                  if Fp.dtype == jnp.complex128 else jnp.complex64)
+    X = X.at[..., :mmaxp1].set(Fp)
+    X = X.at[..., -mmaxp1 + 1:].add(Fm[..., 1:][..., ::-1])
+    return jnp.fft.ifft(X, axis=-1) * nphi
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _from_rings(maps, mmax, phi0):
+    """Extract G+_m, G-_m = (2pi/nphi) sum_k f_k e^{-+ im phi_k} from complex ring maps."""
+    nphi = maps.shape[-1]
+    T = jnp.fft.fft(maps, axis=-1) * (2. * np.pi / nphi)
+    Gp = T[..., :mmax + 1]
+    Gm = jnp.concatenate([T[..., :1], T[..., -mmax:][..., ::-1]], axis=-1)
+    if phi0 != 0.:
+        m = jnp.arange(mmax + 1)
+        rot = jnp.exp(-1j * m * phi0)
+        Gp = Gp * rot
+        Gm = Gm * jnp.conj(rot)
+    return Gp, Gm
+
+
+class SHT:
+    """Spin-s synthesis/analysis bound to a geometry and band limit.
+
+    All entry points accept healpy-layout triangular alm arrays with arbitrary leading
+    batch dimensions, and maps shaped (..., nrings, nphi).
+    """
+
+    def __init__(self, geom_or_lmax, lmax=None, mmax=None, dtype=np.float64):
+        if isinstance(geom_or_lmax, RingGeometry):
+            assert lmax is not None
+            self.geom = geom_or_lmax
+        else:
+            lmax = geom_or_lmax if lmax is None else lmax
+            self.geom = gl_geometry(geom_or_lmax)
+        self.lmax = lmax
+        self.mmax = lmax if mmax is None else mmax
+        self.dtype = dtype
+        self.cdtype = np.complex128 if np.dtype(dtype) == np.float64 else np.complex64
+
+    # ------------------------------------------------------------------ helpers
+    def _tok(self):
+        return self.geom.token()
+
+    def _synth_pair(self, A, Abar, spin):
+        """F+ and F- theta-functions for all m >= 0 (see module docstring for math)."""
+        lmax, mmax = self.lmax, self.mmax
+        fac = _facl(lmax)[:, None]
+        Cp = A * fac
+        Cm = ((-1.) ** spin) * jnp.conj(Abar) * fac
+        th = self.geom.theta
+        Fp = legendre_synth(Cp, -spin, th, grid_token=self._tok(), dtype=self.dtype)
+        Fm = legendre_synth(Cm, spin, th, grid_token=self._tok(), dtype=self.dtype)
+        return Fp, Fm
+
+    def _anal_pair(self, maps_c, spin):
+        """A = _sa_lm and B = -(g - ic)_lm grids from complex ring maps."""
+        lmax, mmax = self.lmax, self.mmax
+        Gp, Gm = _from_rings(maps_c, mmax, self.geom.phi0)
+        w = jnp.asarray(self.geom.weight)[:, None]
+        fac = _facl(lmax)[:, None]
+        A = legendre_anal(Gp * w, -spin, self.geom.theta, lmax,
+                          grid_token=self._tok(), dtype=self.dtype) * fac
+        Bc = legendre_anal(Gm * w, spin, self.geom.theta, lmax,
+                           grid_token=self._tok(), dtype=self.dtype)
+        B = ((-1.) ** spin) * jnp.conj(Bc) * fac
+        return A, B
+
+    def _to_grid(self, alm):
+        return ualm.alm2lm(jnp.asarray(alm, dtype=self.cdtype), self.lmax)
+
+    # ------------------------------------------------------------------ spin 0
+    def alm2map(self, tlm):
+        """Real map from scalar alm (healpy convention, map = sum t_lm Y_lm)."""
+        tlm = jnp.asarray(tlm)
+        batch_shape = tlm.shape[:-1]
+        A = self._to_grid(tlm.reshape((-1, tlm.shape[-1])))
+        Fp = legendre_synth(A * _facl(self.lmax)[:, None], 0, self.geom.theta,
+                            grid_token=self._tok(), dtype=self.dtype)
+        Fm = jnp.conj(Fp)
+        f = _to_rings(Fp, Fm, self.geom.nphi, self.geom.phi0).real
+        return f.reshape(batch_shape + f.shape[-2:])
+
+    def map2alm(self, m):
+        """Scalar alm from real map, exact quadrature."""
+        m = jnp.asarray(m)
+        batch_shape = m.shape[:-2]
+        mc = m.reshape((-1,) + m.shape[-2:]).astype(self.cdtype)
+        A, _ = self._anal_pair(mc, 0)
+        out = ualm.lm2alm(A, self.lmax)
+        return out.reshape(batch_shape + out.shape[-1:])
+
+    # ------------------------------------------------------------------ spin s
+    def alm2map_spin(self, gclm, spin):
+        """(re, im) maps of _sf from (glm, clm); spin > 0."""
+        assert spin > 0, spin
+        glm, clm = gclm
+        glm = jnp.asarray(glm)
+        clm = jnp.broadcast_to(jnp.asarray(clm), glm.shape)
+        batch_shape = glm.shape[:-1]
+        G = self._to_grid(glm.reshape((-1, glm.shape[-1])))
+        C = self._to_grid(clm.reshape((-1, clm.shape[-1])))
+        A = -(G + 1j * C)
+        Abar = -(G - 1j * C)
+        Fp, Fm = self._synth_pair(A, Abar, spin)
+        f = _to_rings(Fp, Fm, self.geom.nphi, self.geom.phi0)
+        f = f.reshape(batch_shape + f.shape[-2:])
+        return f.real, f.imag
+
+    def map2alm_spin(self, maps, spin):
+        """(glm, clm) from (re, im) maps of _sf; spin > 0, exact quadrature."""
+        assert spin > 0, spin
+        m1, m2 = maps
+        m1 = jnp.asarray(m1)
+        batch_shape = m1.shape[:-2]
+        mc = (m1 + 1j * jnp.asarray(m2)).reshape((-1,) + m1.shape[-2:]).astype(self.cdtype)
+        A, B = self._anal_pair(mc, spin)
+        glm = ualm.lm2alm(-0.5 * (A + B), self.lmax)
+        clm = ualm.lm2alm(0.5j * (A - B), self.lmax)
+        return glm.reshape(batch_shape + glm.shape[-1:]), \
+            clm.reshape(batch_shape + clm.shape[-1:])

@@ -1,0 +1,143 @@
+"""SHT engine golden-value tests: scipy spherical harmonics (spin 0), brute-force
+Wigner-d sums (spin s), round trips, Parseval, and batch consistency."""
+import numpy as np
+import pytest
+from scipy.special import sph_harm_y
+
+from plancklens_tpu.ops.sht import SHT, gl_geometry
+from plancklens_tpu.ops import wigner as wig
+from plancklens_tpu.utils import alm as ualm
+
+LMAX = 24
+
+
+def _random_alm(lmax, seed=0):
+    rng = np.random.RandomState(seed)
+    sz = ualm.getsize(lmax)
+    a = (rng.standard_normal(sz) + 1j * rng.standard_normal(sz)) / np.sqrt(2.)
+    a[:lmax + 1] = a[:lmax + 1].real * np.sqrt(2.)
+    return a
+
+
+def _brute_synth_spin(glm, clm, spin, lmax, geom):
+    """Direct sum _sf = sum_lm _sa_lm sqrt((2l+1)/4pi) d^l_{m,-s} e^{im phi}."""
+    th = geom.theta
+    phi = geom.phi0 + 2 * np.pi * np.arange(geom.nphi) / geom.nphi
+    x = np.cos(th)
+    f = np.zeros((geom.nrings, geom.nphi), dtype=complex)
+    for m in range(-lmax, lmax + 1):
+        am = np.zeros(lmax + 1, dtype=complex)
+        for l in range(abs(m), lmax + 1):
+            if m >= 0:
+                g, c = glm[ualm.getidx(lmax, l, m)], clm[ualm.getidx(lmax, l, m)]
+            else:
+                g = (-1) ** m * np.conj(glm[ualm.getidx(lmax, l, -m)])
+                c = (-1) ** m * np.conj(clm[ualm.getidx(lmax, l, -m)])
+            am[l] = -(g + 1j * c) if spin >= 0 else 0.
+            if spin == 0:
+                am[l] = g  # healpy scalar convention: map = sum t Y
+        # theta part: sum_l am_l sqrt((2l+1)/4pi) d^l_{m,-spin}(x)
+        dm = np.asarray(wig.wigner_dmat(lmax, m, -spin, x))
+        fac = np.sqrt((2 * np.arange(lmax + 1) + 1) / (4 * np.pi))
+        Fm = (am * fac) @ dm
+        f += Fm[:, None] * np.exp(1j * m * phi)[None, :]
+    return f
+
+
+def test_alm2map_vs_scipy():
+    geom = gl_geometry(LMAX)
+    sht = SHT(geom, LMAX)
+    tlm = _random_alm(LMAX)
+    f = np.asarray(sht.alm2map(tlm))
+    # brute force with scipy spherical harmonics
+    th = geom.theta
+    phi = 2 * np.pi * np.arange(geom.nphi) / geom.nphi
+    TH, PH = np.meshgrid(th, phi, indexing='ij')
+    fb = np.zeros_like(f[0] if f.ndim == 3 else f)
+    fb = np.zeros((geom.nrings, geom.nphi))
+    for l in range(LMAX + 1):
+        for m in range(0, l + 1):
+            Y = sph_harm_y(l, m, TH, PH)
+            alm = tlm[ualm.getidx(LMAX, l, m)]
+            fb += (alm * Y).real * (1 if m == 0 else 2)
+    assert np.abs(f - fb).max() < 1e-10 * np.abs(fb).max()
+
+
+def test_map2alm_roundtrip_spin0():
+    sht = SHT(LMAX)
+    tlm = _random_alm(LMAX)
+    back = np.asarray(sht.map2alm(sht.alm2map(tlm)))
+    assert np.abs(back - tlm).max() < 1e-11
+
+
+@pytest.mark.parametrize('spin', [1, 2, 3])
+def test_alm2map_spin_vs_bruteforce(spin):
+    geom = gl_geometry(LMAX)
+    sht = SHT(geom, LMAX)
+    glm, clm = _random_alm(LMAX, 1), _random_alm(LMAX, 2)
+    for a in (glm, clm):
+        a[:spin] = 0.
+        for m in range(1, LMAX + 1):  # zero l < spin rows
+            for l in range(m, min(spin, LMAX + 1)):
+                a[ualm.getidx(LMAX, l, m)] = 0.
+    m1, m2 = sht.alm2map_spin((glm, clm), spin)
+    f = np.asarray(m1) + 1j * np.asarray(m2)
+    fb = _brute_synth_spin(glm, clm, spin, LMAX, geom)
+    assert np.abs(f - fb).max() < 1e-10 * np.abs(fb).max(), spin
+
+
+@pytest.mark.parametrize('spin', [1, 2, 3])
+def test_spin_roundtrip(spin):
+    sht = SHT(LMAX)
+    glm, clm = _random_alm(LMAX, 3), _random_alm(LMAX, 4)
+    lmin = spin
+    # zero the l < spin multipoles (not representable at spin s)
+    ls, ms = ualm._lm_indices(LMAX)
+    glm[ls < lmin] = 0.
+    clm[ls < lmin] = 0.
+    maps = sht.alm2map_spin((glm, clm), spin)
+    gb, cb = sht.map2alm_spin(maps, spin)
+    assert np.abs(np.asarray(gb) - glm).max() < 1e-11, spin
+    assert np.abs(np.asarray(cb) - clm).max() < 1e-11, spin
+
+
+def test_parseval_spin0():
+    sht = SHT(LMAX)
+    tlm = _random_alm(LMAX, 5)
+    f = np.asarray(sht.alm2map(tlm))
+    geom = sht.geom
+    # int |f|^2 dOmega = sum_lm |a_lm|^2 (m<0 included)
+    integral = np.sum(f ** 2 * geom.weight[:, None]) * (2 * np.pi / geom.nphi)
+    ls, ms = ualm._lm_indices(LMAX)
+    w = np.where(ms == 0, 1., 2.)
+    assert np.isclose(integral, np.sum(w * np.abs(tlm) ** 2), rtol=1e-12)
+
+
+def test_batched_transforms():
+    sht = SHT(LMAX)
+    tlms = np.stack([_random_alm(LMAX, s) for s in range(4)])
+    f = np.asarray(sht.alm2map(tlms))
+    assert f.shape == (4, sht.geom.nrings, sht.geom.nphi)
+    for i in range(4):
+        assert np.allclose(f[i], np.asarray(sht.alm2map(tlms[i])), atol=1e-12)
+
+
+def test_high_m_underflow_recovery():
+    # seeds underflow unscaled arithmetic when m log(sin theta/2) is very negative;
+    # the scaled recursion must still recover values at l >> m. Use a single large-m mode
+    # and check against the brute-force Wigner evaluation on the polar-most ring.
+    lmax = 300
+    geom = gl_geometry(lmax)
+    sht = SHT(geom, lmax)
+    tlm = np.zeros(ualm.getsize(lmax), dtype=complex)
+    m_hi = 250
+    tlm[ualm.getidx(lmax, lmax, m_hi)] = 1. + 0.j
+    f = np.asarray(sht.alm2map(tlm))
+    th0 = geom.theta[0]
+    dm = np.asarray(wig.wigner_dmat(lmax, m_hi, 0, np.array([np.cos(th0)])))
+    fac = np.sqrt((2 * lmax + 1) / (4 * np.pi))
+    expected_ring0 = 2 * (dm[lmax, 0] * fac
+                          * np.cos(m_hi * 2 * np.pi * np.arange(geom.nphi) / geom.nphi))
+    assert np.abs(f[0] - expected_ring0).max() < 1e-10
+    back = np.asarray(sht.map2alm(f))
+    assert np.abs(back - tlm).max() < 1e-10
