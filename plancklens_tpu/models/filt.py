@@ -1,0 +1,170 @@
+r"""Inverse-variance filtering libraries (the 'ivfs' interface).
+
+The ivfs contract (reference: plancklens/filt/filt_simple.py:16-183):
+  get_sim_tlm/elm/blm(idx)        inverse-variance filtered alms  (bar X = F X_data)
+  get_sim_tmliklm/emliklm/bmliklm Wiener-filtered alms            (X^WF = C_l bar X)
+  get_ftl/fel/fbl                 isotropic approximation of the filter
+  get_tal                         transfer-function pseudo-inverse
+
+Here filtering is a pure harmonic-space operation on batched alms — simulations arrive in
+harmonic space (no pixelisation loss on the full sky), so the isotropic filter is one
+almxfl. Decorators (l-rescaling, index shuffling) mirror the reference's
+(reference: plancklens/filt/filt_util.py).
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from ..utils import alm as ualm
+from ..utils.cls import cli
+from ..utils.hashing import clhash
+
+
+class IVFSepTP:
+    """Isotropic full-sky filtering with independent T and E/B filters, harmonic inputs.
+
+    Matches library_fullsky_alms_sepTP behaviour (reference:
+    plancklens/filt/filt_simple.py:409-470): bar X = ftl/b_l * X_obs with X_obs = b_l X + n.
+
+    Args:
+        sim_lib: harmonic-space sim library (get_sim_tlm/elm/blm [+ _batch])
+        transf: beam/transfer function b_l (array or dict with 't','e','b')
+        cl_len: spectra used for the Wiener leg (dict 'tt','ee','bb')
+        ftl, fel, fbl: isotropic filters (typically 1/(C_l + N_l/b_l^2))
+    """
+
+    def __init__(self, sim_lib, transf, cl_len, ftl, fel, fbl):
+        transfd = transf if isinstance(transf, dict) else {'t': transf, 'e': transf, 'b': transf}
+        self.sim_lib = sim_lib
+        self.transf = transfd
+        self.cl = cl_len
+        self.ftl = np.asarray(ftl)
+        self.fel = np.asarray(fel)
+        self.fbl = np.asarray(fbl)
+        self.lmax_fl = max(len(ftl), len(fel), len(fbl)) - 1
+
+    def hashdict(self):
+        return {'sim_lib': self.sim_lib.hashdict(), 'transf': clhash(self.transf['t']),
+                'ftl': clhash(self.ftl), 'fel': clhash(self.fel), 'fbl': clhash(self.fbl)}
+
+    def get_ftl(self):
+        return np.copy(self.ftl)
+
+    def get_fel(self):
+        return np.copy(self.fel)
+
+    def get_fbl(self):
+        return np.copy(self.fbl)
+
+    def get_tal(self, a):
+        assert a.lower() in ['t', 'e', 'b']
+        return cli(self.transf[a.lower()])
+
+    def _filt(self, alm, f, b):
+        lmax = ualm.getlmax(alm.shape[-1])
+        fl = np.zeros(lmax + 1)
+        n = min(lmax + 1, len(f))
+        fl[:n] = f[:n] * cli(b[:n])
+        return ualm.almxfl(alm, lmax, jnp.asarray(fl))
+
+    # inverse-variance filtered alms
+    def get_sim_tlm(self, idx):
+        return self._filt(self.sim_lib.get_sim_tlm(idx), self.ftl, self.transf['t'])
+
+    def get_sim_elm(self, idx):
+        return self._filt(self.sim_lib.get_sim_elm(idx), self.fel, self.transf['e'])
+
+    def get_sim_blm(self, idx):
+        return self._filt(self.sim_lib.get_sim_blm(idx), self.fbl, self.transf['b'])
+
+    def get_sim_teblm_batch(self, idxs):
+        t, e, b = self.sim_lib.get_sim_teblm_batch(idxs)
+        return (self._filt(t, self.ftl, self.transf['t']),
+                self._filt(e, self.fel, self.transf['e']),
+                self._filt(b, self.fbl, self.transf['b']))
+
+    # Wiener-filtered alms (reference: plancklens/filt/filt_simple.py:149-183)
+    def _wiener(self, alm, key):
+        lmax = ualm.getlmax(alm.shape[-1])
+        return ualm.almxfl(alm, lmax, jnp.asarray(self.cl[key][:lmax + 1]))
+
+    def get_sim_tmliklm(self, idx):
+        return self._wiener(self.get_sim_tlm(idx), 'tt')
+
+    def get_sim_emliklm(self, idx):
+        return self._wiener(self.get_sim_elm(idx), 'ee')
+
+    def get_sim_bmliklm(self, idx):
+        return self._wiener(self.get_sim_blm(idx), 'bb')
+
+
+class IVFShuffle:
+    """Index-remapped view of an ivfs library — the mechanism behind the ds/ss RDN0 legs
+    (reference: plancklens/filt/filt_util.py:186-236)."""
+
+    def __init__(self, ivfs, idx_map):
+        self.ivfs = ivfs
+        self.idx_map = dict(idx_map) if not callable(idx_map) else idx_map
+
+    def _m(self, idx):
+        return self.idx_map(idx) if callable(self.idx_map) else self.idx_map.get(idx, idx)
+
+    def hashdict(self):
+        h = {'ivfs': self.ivfs.hashdict()}
+        if not callable(self.idx_map):
+            h['map'] = tuple(sorted(self.idx_map.items()))
+        return h
+
+    def __getattr__(self, name):
+        if name.startswith('get_sim_'):
+            inner = getattr(self.ivfs, name)
+            return lambda idx, *a, **kw: inner(self._m(idx), *a, **kw)
+        return getattr(self.ivfs, name)
+
+
+class IVFFtl:
+    """Post-hoc l-rescaling of a filtering library, e.g. for l-cuts
+    (reference: plancklens/filt/filt_util.py:39-103)."""
+
+    def __init__(self, ivfs, lfilt_t, lfilt_e, lfilt_b):
+        self.ivfs = ivfs
+        self.lt = np.asarray(lfilt_t)
+        self.le = np.asarray(lfilt_e)
+        self.lb = np.asarray(lfilt_b)
+
+    def hashdict(self):
+        return {'ivfs': self.ivfs.hashdict(), 'lt': clhash(self.lt),
+                'le': clhash(self.le), 'lb': clhash(self.lb)}
+
+    def get_ftl(self):
+        return self.ivfs.get_ftl()[:len(self.lt)] * self.lt
+
+    def get_fel(self):
+        return self.ivfs.get_fel()[:len(self.le)] * self.le
+
+    def get_fbl(self):
+        return self.ivfs.get_fbl()[:len(self.lb)] * self.lb
+
+    def get_tal(self, a):
+        return self.ivfs.get_tal(a)
+
+    def _apply(self, alm, fl):
+        lmax = ualm.getlmax(alm.shape[-1])
+        return ualm.almxfl(alm, lmax, jnp.asarray(np.pad(fl, (0, max(0, lmax + 1 - len(fl))))))
+
+    def get_sim_tlm(self, idx):
+        return self._apply(self.ivfs.get_sim_tlm(idx), self.lt)
+
+    def get_sim_elm(self, idx):
+        return self._apply(self.ivfs.get_sim_elm(idx), self.le)
+
+    def get_sim_blm(self, idx):
+        return self._apply(self.ivfs.get_sim_blm(idx), self.lb)
+
+    def get_sim_tmliklm(self, idx):
+        return self._apply(self.ivfs.get_sim_tmliklm(idx), self.lt)
+
+    def get_sim_emliklm(self, idx):
+        return self._apply(self.ivfs.get_sim_emliklm(idx), self.le)
+
+    def get_sim_bmliklm(self, idx):
+        return self._apply(self.ivfs.get_sim_bmliklm(idx), self.lb)

@@ -1,0 +1,213 @@
+r"""Quadratic estimator evaluation and QE libraries.
+
+Evaluation is the generic symbolic path of the reference (reference:
+plancklens/utils_qe.py:34-132 and plancklens/qest.py:19-39): the key's symbolic weights
+(qresp.get_qes) are compressed to a minimal set of spin transforms, legs are synthesised as
+spin-weighted position-space fields on an exact Gauss-Legendre product grid, multiplied
+pointwise, and analysed at the output spin. Unlike healpy pixelisation, the GL grid is
+chosen exact for the triple product, so QEs here carry no quadrature error.
+
+All evaluation is batched: a leading sims axis flows through every SHT, replacing the
+reference's per-index MPI loops (reference: examples/run_qlms.py:66-75).
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from ..utils import alm as ualm
+from ..utils.hashing import clhash, mchash
+from ..utils.cachers import cacher_mem
+from ..ops.sht import SHT, gl_geometry
+from . import qresp
+from .qe import qe_compress
+
+
+def _almxfl(alm, cl):
+    lmax = ualm.getlmax(alm.shape[-1])
+    fl = np.zeros(lmax + 1, dtype=np.asarray(cl).dtype)
+    n = min(lmax + 1, len(cl))
+    fl[:n] = cl[:n]
+    return ualm.almxfl(alm, lmax, jnp.asarray(fl))
+
+
+def _eval_leg(leg, get_alm, sht):
+    """Complex spin-weighted position-space field of a (multi-)leg acting on filtered alms
+    (reference math: plancklens/utils_qe.py:50-73). Returns (batch, nrings, nphi) complex."""
+    lmax = sht.lmax
+    nalm = ualm.getsize(lmax)
+    glm = None
+    clm = None
+
+    def acc(tot, x):
+        return x if tot is None else tot + x
+
+    for si, cl in zip(leg.spins_in, leg.cls):
+        assert si in [0, -2, 2], str(si) + ' input spin not implemented'
+        if abs(si) == 2:
+            g_in, c_in = get_alm('e'), get_alm('b')
+        else:
+            g_in, c_in = -get_alm('t'), None
+        sgn_g = -(-1.) ** si if si < 0 else -1.
+        sgn_c = (-1.) ** si if si < 0 else -1.
+        lmax_in = ualm.getlmax(g_in.shape[-1])
+        g_in = ualm.alm_copy(g_in, lmax_in, lmax) if lmax_in != lmax else g_in
+        glm = acc(glm, _almxfl(g_in, sgn_g * np.asarray(cl)))
+        if c_in is not None:
+            c_in = ualm.alm_copy(c_in, lmax_in, lmax) if lmax_in != lmax else c_in
+            clm = acc(clm, _almxfl(c_in, sgn_c * np.asarray(cl)))
+    glm = -glm
+    if clm is None:
+        clm = jnp.zeros_like(glm)
+    elif leg.spin_ou > 0:
+        clm = -clm
+    so = leg.spin_ou
+    if so == 0:
+        # healpy scalar convention: map = alm2map(-glm)  (utils_spin.alm2map_spin, spin 0)
+        re = sht.alm2map(-glm)
+        return re.astype(jnp.complex128 if re.dtype == jnp.float64 else jnp.complex64)
+    re, im = sht.alm2map_spin((glm, clm), abs(so))
+    if so < 0 and so % 2 == 1:
+        re = -re
+    if so < 0 and so % 2 == 0:
+        im = -im
+    return re + 1j * im
+
+
+def eval_qe(qe_key, lmax_ivf, cls_weight, get_alm, lmax_qlm, geom=None, get_alm2=None,
+            transf=None, verbose=False):
+    """Evaluate a QE's gradient and curl alms from filtered-alm providers.
+
+    Args:
+        qe_key: estimator key (qresp grammar)
+        lmax_ivf: max CMB multipole entering the QE
+        cls_weight: spectra entering the QE weights
+        get_alm: callable 't'|'e'|'b' -> batched filtered alms (bar X)
+        lmax_qlm: output band limit
+        geom: optional RingGeometry; defaults to a GL grid exact for the triple product
+        get_alm2: second-leg provider (estimator symmetrised when provided)
+
+    Returns:
+        (glm, clm) batched triangular alms.
+    """
+    qe_list = qresp.get_qes(qe_key, lmax_ivf, cls_weight, transf=transf)
+    return qe_eval(qe_list, get_alm, lmax_qlm, geom=geom, get_alm2=get_alm2, verbose=verbose)
+
+
+def qe_eval(qe_list, get_alm, lmax_qlm, geom=None, get_alm2=None, verbose=False):
+    """Generic position-space QE evaluation (reference: plancklens/utils_qe.py:92-132)."""
+    if get_alm2 is None:
+        get_alm2 = get_alm
+    symmetrize = get_alm2 is not get_alm
+    qes = qe_compress(qe_list, verbose=verbose)
+    qe_spin = qes[0][0].spin_ou + qes[0][1].spin_ou
+    cL_out = qes[0][-1](np.arange(lmax_qlm + 1))
+    assert qe_spin >= 0, qe_spin
+    lmax_leg = max(max(q[0].get_lmax(), q[1].get_lmax()) for q in qes)
+    if geom is None:
+        geom = gl_geometry((2 * lmax_leg + lmax_qlm) // 2, nphi=None)
+    sht_leg = SHT(geom, lmax_leg)
+    sht_out = SHT(geom, lmax_qlm)
+    d = None
+    for q in qes:
+        term = _eval_leg(q[0], get_alm, sht_leg) * _eval_leg(q[1], get_alm2, sht_leg)
+        if symmetrize:
+            term = term + _eval_leg(q[0], get_alm2, sht_leg) * _eval_leg(q[1], get_alm, sht_leg)
+        d = term if d is None else d + term
+    if qe_spin > 0:
+        glm, clm = sht_out.map2alm_spin((d.real, d.imag), qe_spin)
+    else:
+        glm = -sht_out.map2alm(d.real)
+        clm = jnp.zeros_like(glm)
+    if symmetrize:
+        glm = glm * 0.5
+        clm = clm * 0.5
+    return _almxfl(glm, cL_out), _almxfl(clm, cL_out)
+
+
+class QELib:
+    r"""QE evaluation library bound to filtering libraries (reference:
+    plancklens/qest.py:51-246).
+
+    Args:
+        ivfs1, ivfs2: filtering libraries for the two legs
+        cls_weight: spectra entering the QE weights (e.g. lensed cls); for the sep-TP MV
+            estimator this must contain the 'te' weight (reference library_sepTP clte arg)
+        lmax_qlm: output band limit
+        lmax_ivf: max CMB multipole used
+        cacher: optional cacher for computed qlms
+    """
+
+    def __init__(self, ivfs1, ivfs2, cls_weight, lmax_ivf, lmax_qlm, cacher=None):
+        self.ivfs1 = ivfs1
+        self.ivfs2 = ivfs2
+        self.cls_weight = cls_weight
+        self.lmax_ivf = lmax_ivf
+        self.lmax_qlm = lmax_qlm
+        self.cacher = cacher if cacher is not None else cacher_mem(maxsize=64)
+
+    def hashdict(self):
+        return {'ivfs1': self.ivfs1.hashdict(), 'ivfs2': self.ivfs2.hashdict(),
+                'lmax_ivf': self.lmax_ivf, 'lmax_qlm': self.lmax_qlm,
+                **{'clw ' + k: clhash(v) for k, v in self.cls_weight.items()}}
+
+    def _get_alm_fn(self, ivfs, idx):
+        def get_alm(f):
+            return {'t': ivfs.get_sim_tlm, 'e': ivfs.get_sim_elm,
+                    'b': ivfs.get_sim_blm}[f](idx)
+        return get_alm
+
+    def _get_alm_batch_fn(self, ivfs, idxs):
+        t, e, b = ivfs.get_sim_teblm_batch(idxs)
+
+        def get_alm(f):
+            return {'t': t, 'e': e, 'b': b}[f]
+        return get_alm
+
+    def get_sim_qlm(self, k, idx, grad_only=False):
+        """Gradient (and curl) QE alms for simulation idx; composite and _bh_ keys resolve
+        recursively as in the reference (reference: plancklens/qest.py:155-201)."""
+        assert k[0] in ['p', 'x', 's', 'f', 'a'], k
+        fn = 'qlm_%s_%04d' % (k, idx)
+        fnx = 'qlm_%s_%04d' % ('x' + k[1:], idx)
+        if '_bh_' in k:
+            kQE, ksource = k.split('_bh_')
+            assert len(ksource) == 1
+            from ..utils.cls import cli as _cli
+            # w_L = R^{hk}/R^{hh} from the response library is applied by the caller;
+            # here the plain difference with the source estimator normalised response
+            raise NotImplementedError('bias-hardened qlm evaluation requires a response '
+                                      'library; use QELibResp')
+        if not self.cacher.is_cached(fn):
+            glm, clm = self._eval_key(k, self._get_alm_fn(self.ivfs1, idx),
+                                      self._get_alm_fn(self.ivfs2, idx)
+                                      if self.ivfs2 is not self.ivfs1 else None)
+            self.cacher.cache(fn, np.asarray(glm)[0] if np.asarray(glm).ndim > 1
+                              else np.asarray(glm))
+            if k[0] in ['p', 'x']:
+                self.cacher.cache(fnx, np.asarray(clm)[0] if np.asarray(clm).ndim > 1
+                                  else np.asarray(clm))
+        if k[0] == 'x':
+            return jnp.asarray(self.cacher.load(fnx))
+        return jnp.asarray(self.cacher.load(fn))
+
+    def _eval_key(self, k, get_alm, get_alm2):
+        kk = 'p' + k[1:] if k[0] == 'x' else k  # grad and curl come from the same product
+        return eval_qe(kk, self.lmax_ivf, self.cls_weight, get_alm, self.lmax_qlm,
+                       get_alm2=get_alm2)
+
+    def get_sim_qlm_batch(self, k, idxs):
+        """Batched evaluation over simulation indices (one jitted pipeline, sims axis)."""
+        get_alm = self._get_alm_batch_fn(self.ivfs1, idxs)
+        get_alm2 = None
+        if self.ivfs2 is not self.ivfs1:
+            get_alm2 = self._get_alm_batch_fn(self.ivfs2, idxs)
+        glm, clm = self._eval_key(k, get_alm, get_alm2)
+        return clm if k[0] == 'x' else glm
+
+    def get_sim_qlm_mf(self, k, mc_sims):
+        """Mean-field estimate: QE average over simulations
+        (reference: plancklens/qest.py:206-246)."""
+        fn = 'qlm_mf_%s_%s' % (k, mchash(mc_sims))
+        if not self.cacher.is_cached(fn):
+            qlms = self.get_sim_qlm_batch(k, np.asarray(mc_sims))
+            self.cacher.cache(fn, np.asarray(jnp.mean(qlms, axis=0)))
+        return jnp.asarray(self.cacher.load(fn))

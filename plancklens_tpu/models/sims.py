@@ -1,0 +1,166 @@
+r"""Simulation libraries: reproducible Gaussian CMB + noise skies, TPU-native.
+
+The reference stores numpy RNG states in sqlite so any rank can regenerate any simulation
+(reference: plancklens/sims/phas.py). Here determinism comes from stateless `jax.random`
+keys folded with the simulation index — no database, no filesystem, and the whole sim batch
+is one vmappable pure function, so hundreds of simulations become a leading array axis
+sharded across the device mesh (replacing MPI rank striding over indices,
+reference: examples/run_qlms.py:57).
+
+Correlated fields are coloured by a per-multipole eigen-decomposition of the N_f x N_f
+spectral matrix, as in the reference (reference: plancklens/sims/cmbs.py:25-101).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+from functools import partial
+
+from ..utils import alm as ualm
+from ..utils.hashing import clhash
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def unit_phases(key, nfields, lmax):
+    """(nfields, nalm) unit-variance complex alm phases: <|xi_lm|^2> = 1, m=0 real.
+
+    Generated in the real-harmonic basis so statistics are exact by construction
+    (reference analogue: plancklens/sims/phas.py:157-195).
+    """
+    rlm = jax.random.normal(key, (nfields, (lmax + 1) ** 2))
+    return ualm.rlm2alm(rlm, lmax)
+
+
+def sim_key(base_key, idx):
+    """Per-simulation PRNG key; idx -1 is the 'data' convention
+    (reference: plancklens/sims/planck2018_sims.py:47-49)."""
+    return jax.random.fold_in(base_key, idx + 1)
+
+
+def cls_to_coloring(cls_dict, fields, lmax):
+    """(lmax+1, nf, nf) matrix square root L(l) with L L^T = spectral matrix, via eigh
+    (reference: plancklens/sims/cmbs.py:46-49)."""
+    nf = len(fields)
+    mat = np.zeros((lmax + 1, nf, nf))
+    for i, f1 in enumerate(fields):
+        for j, f2 in enumerate(fields):
+            cl = cls_dict.get(f1 + f2, cls_dict.get(f2 + f1, None))
+            if cl is not None:
+                mat[:, i, j] = cl[:lmax + 1] if len(cl) > lmax else np.pad(cl, (0, lmax + 1 - len(cl)))
+    w, v = np.linalg.eigh(mat)
+    w = np.maximum(w, 0.)
+    return np.einsum('lij,lj->lij', v, np.sqrt(w))
+
+
+class CMBUnlLib:
+    """Unlensed (or Gaussian-lensed-spectra) correlated CMB alm simulations.
+
+    Args:
+        cls: dict of spectra ('tt', 'te', 'ee', 'bb', 'pp', 'pt', ... as available)
+        lmax: band limit of the simulations
+        fields: tuple of field letters to generate, e.g. ('t', 'e', 'b', 'p')
+        seed: integer seed of the whole library
+    """
+
+    def __init__(self, cls, lmax, fields=('t', 'e', 'b', 'p'), seed=0):
+        self.cls = cls
+        self.lmax = lmax
+        self.fields = tuple(fields)
+        self.seed = seed
+        self._base_key = jax.random.PRNGKey(seed)
+        self._L = jnp.asarray(cls_to_coloring(cls, self.fields, lmax))
+        self._ls, _ = ualm._lm_indices(lmax)
+
+    def hashdict(self):
+        return {'lmax': self.lmax, 'fields': ''.join(self.fields), 'seed': self.seed,
+                **{k: clhash(v) for k, v in self.cls.items()}}
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _sim(self, key):
+        xi = unit_phases(key, len(self.fields), self.lmax)  # (nf, nalm)
+        L = self._L[self._ls]  # (nalm, nf, nf)
+        return jnp.einsum('afg,ga->fa', L, xi)
+
+    def get_sim_alms(self, idx):
+        """(nfields, nalm) alms of simulation idx."""
+        return self._sim(sim_key(self._base_key, idx))
+
+    def get_sim_alms_batch(self, idxs):
+        keys = jnp.stack([sim_key(self._base_key, int(i)) for i in np.atleast_1d(idxs)])
+        return jax.vmap(self._sim)(keys)
+
+    def _field_index(self, f):
+        return self.fields.index(f)
+
+    def get_sim_tlm(self, idx):
+        return self.get_sim_alms(idx)[self._field_index('t')]
+
+    def get_sim_elm(self, idx):
+        return self.get_sim_alms(idx)[self._field_index('e')]
+
+    def get_sim_blm(self, idx):
+        return self.get_sim_alms(idx)[self._field_index('b')]
+
+    def get_sim_plm(self, idx):
+        return self.get_sim_alms(idx)[self._field_index('p')]
+
+
+class MapsNlevLib:
+    """Beam-convolved CMB + homogeneous white noise, in harmonic space.
+
+    TPU-native analogue of cmb_maps_nlev (reference: plancklens/sims/maps.py:101-173) in
+    its harmonic-space variant (reference: plancklens/sims/maps.py:177-275): the 'observed'
+    sky is transf * alm + noise alm with N_l = (nlev * pi/180/60)^2 (white), which on the
+    full sky carries the same information as pixel-space noise maps without pixelisation.
+
+    Args:
+        cmb_lib: CMBUnlLib-like with get_sim_alms
+        transf: transfer function/beam b_l (array, lmax+1)
+        nlev_t, nlev_p: white noise levels in uK-arcmin
+        seed: noise seed (independent of the CMB seed)
+    """
+
+    def __init__(self, cmb_lib, transf, nlev_t, nlev_p, seed=1000):
+        self.cmb_lib = cmb_lib
+        self.lmax = cmb_lib.lmax
+        self.transf = np.asarray(transf)[:self.lmax + 1]
+        self.nlev_t = nlev_t
+        self.nlev_p = nlev_p
+        self._noise_key = jax.random.PRNGKey(seed ^ 0x5eed)
+        self._ls, _ = ualm._lm_indices(self.lmax)
+
+    def hashdict(self):
+        return {'cmb': self.cmb_lib.hashdict(), 'transf': clhash(self.transf),
+                'nlev_t': self.nlev_t, 'nlev_p': self.nlev_p}
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _obs(self, cmb_key, noise_key):
+        alms = jax.vmap(lambda k: unit_phases(k, 3, self.lmax))(noise_key[None])[0]
+        cmb = self.cmb_lib._sim(cmb_key)
+        bl = jnp.asarray(self.transf)[self._ls]
+        it = self.cmb_lib._field_index('t')
+        ie = self.cmb_lib._field_index('e')
+        ib = self.cmb_lib._field_index('b')
+        sig_t = self.nlev_t / 60. / 180. * np.pi
+        sig_p = self.nlev_p / 60. / 180. * np.pi
+        tlm = cmb[it] * bl + alms[0] * sig_t
+        elm = cmb[ie] * bl + alms[1] * sig_p
+        blm = cmb[ib] * bl + alms[2] * sig_p
+        return tlm, elm, blm
+
+    def _keys(self, idx):
+        return sim_key(self.cmb_lib._base_key, idx), sim_key(self._noise_key, idx)
+
+    def get_sim_tlm(self, idx):
+        return self._obs(*self._keys(idx))[0]
+
+    def get_sim_elm(self, idx):
+        return self._obs(*self._keys(idx))[1]
+
+    def get_sim_blm(self, idx):
+        return self._obs(*self._keys(idx))[2]
+
+    def get_sim_teblm_batch(self, idxs):
+        ks = [self._keys(int(i)) for i in np.atleast_1d(idxs)]
+        ck = jnp.stack([k[0] for k in ks])
+        nk = jnp.stack([k[1] for k in ks])
+        return jax.vmap(self._obs)(ck, nk)  # 3-tuple of (nsims, nalm)

@@ -127,10 +127,12 @@ def _legendre_scan(mode, S, C_or_Q, alpha, beta, gamma, l0, seed_v, seed_k, x):
     if mode == 'synth':
         acc0 = jnp.zeros((batch, nrings, mmaxp1), dtype=C_or_Q.dtype)
 
+        adtype = jnp.zeros(0, dtype=C_or_Q.dtype).real.dtype  # accumulate in input precision
+
         def step_s(carry, xs):
             l, al, bl, gl, Cl = xs
             d_m1, d, k, acc = carry
-            deff = d * jnp.exp2((S * k).astype(rdtype))
+            deff = (d * jnp.exp2((S * k).astype(rdtype))).astype(adtype)
             acc = acc + Cl[:, None, :] * deff[None, :, :]
             d_m1, d, k = recurse(l, d_m1, d, k, al, bl, gl)
             return (d_m1, d, k, acc), None
@@ -141,10 +143,12 @@ def _legendre_scan(mode, S, C_or_Q, alpha, beta, gamma, l0, seed_v, seed_k, x):
     else:
         Q = C_or_Q  # (batch, nrings, mmaxp1)
 
+        adtype = jnp.zeros(0, dtype=C_or_Q.dtype).real.dtype
+
         def step_a(carry, xs):
             l, al, bl, gl = xs
             d_m1, d, k = carry
-            deff = d * jnp.exp2((S * k).astype(rdtype))
+            deff = (d * jnp.exp2((S * k).astype(rdtype))).astype(adtype)
             emit = jnp.einsum('brm,rm->bm', Q, deff)
             d_m1, d, k = recurse(l, d_m1, d, k, al, bl, gl)
             return (d_m1, d, k), emit

@@ -78,6 +78,10 @@ class SHT:
             self.geom = gl_geometry(geom_or_lmax)
         self.lmax = lmax
         self.mmax = lmax if mmax is None else mmax
+        if not jax.config.jax_enable_x64 and np.dtype(dtype) == np.float64:
+            # without x64, f64 tables would be silently truncated (and their 2^S-scaled
+            # seeds overflow f32); drop to the f32 engine with the matching exponent chunk
+            dtype = np.float32
         self.dtype = dtype
         self.cdtype = np.complex128 if np.dtype(dtype) == np.float64 else np.complex64
 

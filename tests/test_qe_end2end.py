@@ -1,0 +1,94 @@
+"""End-to-end QE pipeline test: Gaussian sims -> isotropic filtering -> QE -> spectrum.
+
+For Gaussian (signal-free-phi) skies, the unnormalised QE spectrum must equal the
+semi-analytic Gaussian N0 (reference physics: plancklens/nhl.py), and the mean-field of a
+full-sky isotropic pipeline must vanish. This exercises sims, filt, qest (SHT path), nhl
+and qresp together.
+"""
+import os
+import numpy as np
+import pytest
+
+import plancklens_tpu
+from plancklens_tpu.utils import camb_clfile, cli, alm as ualm
+from plancklens_tpu.models import nhl, qresp
+from plancklens_tpu.models.sims import CMBUnlLib, MapsNlevLib
+from plancklens_tpu.models.filt import IVFSepTP
+from plancklens_tpu.models.qest import QELib
+
+LMAX = 128
+LMIN = 8
+NSIMS = 8
+NLEV_T = 35.
+NLEV_P = 35. * np.sqrt(2.)
+
+
+def _setup():
+    cls_path = os.path.join(plancklens_tpu.DATAPATH, 'cls')
+    cls_len = camb_clfile(os.path.join(cls_path, 'FFP10_wdipole_lensedCls.dat'), lmax=LMAX)
+    transf = np.ones(LMAX + 1)
+    nt2 = (NLEV_T / 60. / 180. * np.pi) ** 2
+    np2 = (NLEV_P / 60. / 180. * np.pi) ** 2
+    ftl = cli(cls_len['tt'] + nt2)
+    fel = cli(cls_len['ee'] + np2)
+    fbl = cli(cls_len['bb'] + np2)
+    # low-l cut, as in any real analysis (reference: tests/test_w.py:53-55): without it the
+    # enormous 1/N filter at the signal-free lowest multipoles dominates the estimator
+    for fl in (ftl, fel, fbl):
+        fl[:LMIN] = 0.
+    cmb = CMBUnlLib(cls_len, LMAX, fields=('t', 'e', 'b'), seed=7)
+    sims = MapsNlevLib(cmb, transf, NLEV_T, NLEV_P, seed=8)
+    ivfs = IVFSepTP(sims, transf, cls_len, ftl, fel, fbl)
+    fal = {'tt': ftl, 'ee': fel, 'bb': fbl}
+    cls_ivfs = {'tt': ftl, 'ee': fel, 'bb': fbl, 'te': cls_len['te'] * ftl * fel}
+    return cls_len, ivfs, fal, cls_ivfs
+
+
+CLS_LEN, IVFS, FAL, CLS_IVFS = _setup()
+
+
+def test_sim_spectra():
+    # simulated observed spectra match C_l b_l^2 + N_l
+    t, e, b = IVFS.sim_lib.get_sim_teblm_batch(np.arange(12))
+    clt = np.asarray(ualm.alm2cl(t, LMAX)).mean(axis=0)
+    expected = CLS_LEN['tt'] + (NLEV_T / 60. / 180. * np.pi) ** 2
+    ratio = clt[20:] / expected[20:]
+    assert abs(ratio.mean() - 1.) < 0.05, ratio.mean()
+
+
+@pytest.mark.parametrize('qe_key', ['ptt', 'p_p'])
+def test_qe_spectrum_matches_n0(qe_key):
+    qlib = QELib(IVFS, IVFS, CLS_LEN, LMAX, LMAX)
+    qlms = np.asarray(qlib.get_sim_qlm_batch(qe_key, np.arange(NSIMS)))
+    cls_q = np.asarray(ualm.alm2cl(qlms, LMAX)).mean(axis=0)
+    NG = nhl.get_nhl(qe_key, qe_key, CLS_LEN, CLS_IVFS, LMAX, LMAX, lmax_out=LMAX)[0]
+    sel = slice(10, 100)
+    ratio = cls_q[sel] / NG[sel]
+    # ~ Nmodes = NSIMS * sum(2L+1) >> 1; allow a few percent
+    assert abs(ratio.mean() - 1.) < 0.05, (qe_key, ratio.mean())
+
+
+def test_qe_single_matches_batch():
+    qlib = QELib(IVFS, IVFS, CLS_LEN, LMAX, LMAX)
+    q0 = np.asarray(qlib.get_sim_qlm('ptt', 3))
+    qb = np.asarray(qlib.get_sim_qlm_batch('ptt', np.array([2, 3])))
+    assert np.allclose(q0, qb[1], rtol=1e-10, atol=1e-22)
+
+
+def test_curl_key():
+    qlib = QELib(IVFS, IVFS, CLS_LEN, LMAX, LMAX)
+    x = np.asarray(qlib.get_sim_qlm('xtt', 1))
+    NGxx = nhl.get_nhl('xtt', 'xtt', CLS_LEN, CLS_IVFS, LMAX, LMAX, lmax_out=LMAX)[1]
+    cl = np.asarray(ualm.alm2cl(x, LMAX))
+    ratio = cl[10:100] / NGxx[10:100]
+    assert 0.5 < ratio.mean() < 2.0  # single sim: rough consistency
+
+
+def test_mean_field_is_small():
+    # full-sky isotropic filtering: MF vanishes up to MC noise ~ N0 / nsims
+    qlib = QELib(IVFS, IVFS, CLS_LEN, LMAX, LMAX)
+    mf = np.asarray(qlib.get_sim_qlm_mf('ptt', np.arange(NSIMS)))
+    cl_mf = np.asarray(ualm.alm2cl(mf, LMAX))
+    NG = nhl.get_nhl('ptt', 'ptt', CLS_LEN, CLS_IVFS, LMAX, LMAX, lmax_out=LMAX)[0]
+    # MF spectrum should be ~ N0/NSIMS, not ~ N0
+    assert np.mean(cl_mf[10:100] / NG[10:100]) < 3. / NSIMS
