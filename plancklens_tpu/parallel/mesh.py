@@ -1,0 +1,43 @@
+"""Device-mesh parallelism helpers.
+
+The reference's only distribution mechanism is MPI rank striding over simulation indices
+with filesystem rendezvous (reference: plancklens/helpers/mpi.py, examples/run_qlms.py:57).
+Here the sims axis is a sharded array dimension on a jax Mesh: `jobs[rank::size]` becomes
+`jax.device_put(batch, sims_sharding(mesh))`, barriers become XLA collectives, and the
+per-stage "exchange through disk" disappears — stages are one jitted program.
+
+Axes:
+  'sims' — data parallelism over simulation indices (the dominant axis, 300+ sims)
+  'm'    — intra-transform parallelism: the (rings x m) work of the Legendre phase and the
+           m-bins of the ring FFTs shard over 'm' (the lmax >~ 4096 scaling axis)
+"""
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_sims=None, n_m=1, devices=None):
+    """Mesh over ('sims', 'm'). Defaults to all devices on the sims axis."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if n_sims is None:
+        n_sims = n // n_m
+    assert n_sims * n_m == n, (n_sims, n_m, n)
+    dev = np.asarray(devices).reshape(n_sims, n_m)
+    return Mesh(dev, ('sims', 'm'))
+
+
+def sims_sharding(mesh, ndim=2):
+    """Sharding placing the leading sims axis across the 'sims' mesh axis."""
+    return NamedSharding(mesh, P('sims', *([None] * (ndim - 1))))
+
+
+def maps_sharding(mesh):
+    """Sharding for (sims, nrings, nphi) maps: sims x phi sharded."""
+    return NamedSharding(mesh, P('sims', None, 'm'))
+
+
+def shard_batch(mesh, arr):
+    """Place a batched array with its leading axis sharded over 'sims'."""
+    return jax.device_put(arr, sims_sharding(mesh, np.ndim(arr)))
