@@ -88,3 +88,77 @@ def _get_nhl(qes1, qes2, cls_ivfs, lmax_out, cls_ivfs_bb=None, cls_ivfs_ab=None,
             if ret_terms:
                 terms += [0.5 * R_sutv, 0.5 * sgn * R_msmtuv]
     return (GG, CC, GC, CG) if not ret_terms else (GG, CC, GC, CG, terms)
+
+
+class NhlLib:
+    """Per-simulation semi-analytic N0 library using empirical filtered-map spectra
+    (reference: plancklens/nhl.py:99-189)."""
+
+    def __init__(self, ivfs, cls_weight, lmax_qlm, resplib=None, fsky=1., cacher=None):
+        from ..utils.cachers import cacher_mem
+        from ..utils import alm as ualm
+        self.ivfs = ivfs
+        self.cls_weight = cls_weight
+        self.lmax_qlm = lmax_qlm
+        self.resplib = resplib
+        self.fsky = fsky
+        self.cacher = cacher if cacher is not None else cacher_mem()
+        self._ualm = ualm
+
+    def hashdict(self):
+        from ..utils.hashing import clhash
+        ret = {k: clhash(v) for k, v in self.cls_weight.items()}
+        ret['ivfs'] = self.ivfs.hashdict()
+        ret['lmax_qlm'] = self.lmax_qlm
+        return ret
+
+    def _get_qe_derived(self, k):
+        if '_bh_' in k:
+            from ..utils.cls import cli
+            kQE, ksource = k.split('_bh_')
+            wL = self.resplib.get_response(kQE, ksource) \
+                * cli(self.resplib.get_response(ksource + kQE[1:], ksource))
+            return [(kQE, 1.), (ksource + kQE[1:], -wL)]
+        return [(k, 1.)]
+
+    def _get_cls(self, idx, spins):
+        ualm = self._ualm
+        import numpy as _np
+        ret = {}
+        if 0 in spins:
+            t = self.ivfs.get_sim_tlm(idx)
+            lmax = ualm.getlmax(t.shape[-1])
+            ret['tt'] = _np.asarray(ualm.alm2cl(t, lmax)) / self.fsky
+        if 2 in spins:
+            e = self.ivfs.get_sim_elm(idx)
+            b = self.ivfs.get_sim_blm(idx)
+            lmax = ualm.getlmax(e.shape[-1])
+            ret['ee'] = _np.asarray(ualm.alm2cl(e, lmax)) / self.fsky
+            ret['bb'] = _np.asarray(ualm.alm2cl(b, lmax)) / self.fsky
+            ret['eb'] = _np.asarray(ualm.alm2cl(e, lmax, alm2=b)) / self.fsky
+        if 0 in spins and 2 in spins:
+            ret['te'] = _np.asarray(ualm.alm2cl(t, lmax, alm2=e)) / self.fsky
+            ret['tb'] = _np.asarray(ualm.alm2cl(t, lmax, alm2=b)) / self.fsky
+        lmaxs = [len(cl) for cl in ret.values()]
+        assert len(np.unique(lmaxs)) == 1, lmaxs
+        return ret, lmaxs[0] - 1
+
+    def get_sim_nhl(self, idx, k1, k2):
+        """Semi-analytic unnormalised N0 of (k1, k2) for simulation idx (idx -1 = data)."""
+        assert idx == -1 or idx >= 0, idx
+        ret = np.zeros(self.lmax_qlm + 1)
+        for k1_, w1 in self._get_qe_derived(k1):
+            for k2_, w2 in self._get_qe_derived(k2):
+                s1, GC1, s1ins, ksp1 = qresp.qe_spin_data(k1_)
+                s2, GC2, s2ins, ksp2 = qresp.qe_spin_data(k2_)
+                fn = 'anhl_%s_%s_%s%s_%05d' % (ksp1 + k1_[1:], ksp2 + k2_[1:], GC1, GC2, idx)
+                if not self.cacher.is_cached(fn):
+                    cls_ivfs, lmax_ivf = self._get_cls(idx, np.unique(np.concatenate([s1ins, s2ins])))
+                    GG, CC, GC, CG = get_nhl(k1_, k2_, self.cls_weight, cls_ivfs,
+                                             lmax_ivf, lmax_ivf, lmax_out=self.lmax_qlm)
+                    for gc1, gc2, N0 in [('G', 'G', GG), ('C', 'G', CG), ('G', 'C', GC),
+                                         ('C', 'C', CC)]:
+                        self.cacher.cache('anhl_%s_%s_%s%s_%05d'
+                                          % (ksp1 + k1_[1:], ksp2 + k2_[1:], gc1, gc2, idx), N0)
+                ret = ret + w1 * w2 * np.asarray(self.cacher.load(fn))
+        return ret

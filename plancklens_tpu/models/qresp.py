@@ -264,3 +264,53 @@ def get_dresponse_dlncl(qe_key, l, cl_key, lmax_ivf, source, cls_weight, cls_cmb
     dcls_cmb[cl_key][l] = cls_cmb[cl_key][l]
     qes = get_qes(qe_key, lmax_ivf, cls_weight, lmax2=lmax_ivf2)
     return _get_response(qes, source, dcls_cmb, fal_leg1, lmax_out, fal_leg2=fal_leg2)
+
+
+class RespLib:
+    """Cached QE response library (reference: plancklens/qresp.py:183-266).
+
+    get_response(k, ksource) returns the G (or C for curl keys) response array.
+    """
+
+    def __init__(self, lmax_ivf, cls_weight, cls_cmb, fal, lmax_qlm, transf=None,
+                 cacher=None):
+        from ..utils.cachers import cacher_mem
+        self.lmax_qe = lmax_ivf
+        self.lmax_qlm = lmax_qlm
+        self.cls_weight = cls_weight
+        self.cls_cmb = cls_cmb
+        self.fal = fal
+        self.transf = transf
+        self.cacher = cacher if cacher is not None else cacher_mem()
+
+    def hashdict(self):
+        from ..utils.hashing import clhash
+        ret = {'lmaxqe': self.lmax_qe, 'lmax_qlm': self.lmax_qlm}
+        for k in self.cls_weight.keys():
+            ret['clsweight ' + k] = clhash(self.cls_weight[k])
+        for k in self.cls_cmb.keys():
+            ret['clscmb ' + k] = clhash(self.cls_cmb[k])
+        for k in self.fal.keys():
+            ret['fal' + k] = clhash(self.fal[k])
+        return ret
+
+    def get_response(self, k, ksource):
+        if '_bh_' in k:  # bias-hardened estimator (reference: qresp.py:238-245)
+            kQE, bhksource = k.split('_bh_')
+            assert len(bhksource) == 1, (kQE, ksource)
+            wL = self.get_response(kQE, bhksource)
+            wL = wL * cli(self.get_response(bhksource + kQE[1:], bhksource))
+            ret = self.get_response(kQE, ksource)
+            return ret - wL * self.get_response(bhksource + kQE[1:], ksource)
+        if k in ['xmtt', 'pmtt']:
+            return self.get_response(k[0], ksource) - self.get_response(k[0] + 'tt', ksource)
+        s, GorC, sins, ksp = qe_spin_data(k)
+        fn = 'qe_' + ksp + k[1:] + '_source_%s_' % ksource + GorC + GorC
+        if not self.cacher.is_cached(fn):
+            GG, CC, GC, CG = get_response(k, self.lmax_qe, ksource, self.cls_weight,
+                                          self.cls_cmb, self.fal, lmax_qlm=self.lmax_qlm,
+                                          transf=self.transf)
+            self.cacher.cache('qe_' + ksp + k[1:] + '_source_%s_' % ksource + 'GG', GG)
+            if s > 0:
+                self.cacher.cache('qe_' + ksp + k[1:] + '_source_%s_' % ksource + 'CC', CC)
+        return np.asarray(self.cacher.load(fn))

@@ -164,3 +164,71 @@ class MapsNlevLib:
         ck = jnp.stack([k[0] for k in ks])
         nk = jnp.stack([k[1] for k in ks])
         return jax.vmap(self._obs)(ck, nk)  # 3-tuple of (nsims, nalm)
+
+
+class CMBLenLib:
+    """Lensed CMB simulations: unlensed T/E/B + phi (and optional curl) drawn from their
+    joint spectra, lensed by the deflection-remap operator
+    (reference: plancklens/sims/cmbs.py:104-233, lenspyx calls at cmbs.py:199-220).
+
+    Maps are produced on the given geometry; harmonic-space observations are obtained by
+    re-analysing the lensed maps (exact on the GL grid).
+
+    Args:
+        cls_unl: dict of unlensed spectra incl. 'pp' (and 'pt', 'pe' correlations if wanted)
+        lmax: band limit of the unlensed skies and outputs
+        geom: output RingGeometry
+        seed: library seed
+        dlmax: extra band-limit margin for the unlensed skies entering the remapping
+    """
+
+    def __init__(self, cls_unl, lmax, geom, fields=('t', 'e', 'b', 'p'), seed=0,
+                 dlmax=128, oversample=4.0, order=9):
+        from ..ops.lensing import Lensing
+        from ..ops.sht import SHT
+        self.lmax = lmax
+        self.lmax_unl = lmax + dlmax
+        self.geom = geom
+        self.unl_lib = CMBUnlLib(cls_unl, self.lmax_unl, fields=fields, seed=seed)
+        self.lensing = Lensing(geom, self.lmax_unl, lmax_p=self.lmax_unl,
+                               oversample=oversample, order=order)
+        self.sht = SHT(geom, lmax)
+
+    def hashdict(self):
+        return {'unl': self.unl_lib.hashdict(), 'lmax': self.lmax,
+                'geom': self.geom.hashdict()}
+
+    def get_sim_plm(self, idx):
+        from ..utils import alm as ualm
+        plm = self.unl_lib.get_sim_plm(idx)
+        return ualm.alm_copy(plm, self.lmax_unl, self.lmax)
+
+    def get_sim_tmap(self, idx):
+        """Lensed temperature map on the geometry."""
+        alms = self.unl_lib.get_sim_alms(idx)
+        it = self.unl_lib._field_index('t')
+        ip = self.unl_lib._field_index('p')
+        return self.lensing.alm2lenmap(alms[it], alms[ip])[0]
+
+    def get_sim_pmap(self, idx):
+        """Lensed (Q, U) maps on the geometry."""
+        alms = self.unl_lib.get_sim_alms(idx)
+        ie = self.unl_lib._field_index('e')
+        ib = self.unl_lib._field_index('b')
+        ip = self.unl_lib._field_index('p')
+        q, u = self.lensing.alm2lenmap_spin((alms[ie], alms[ib]), alms[ip], 2)
+        return q[0], u[0]
+
+    def get_sim_tlm(self, idx):
+        """Lensed tlm, band-limited to lmax (exact GL analysis of the lensed map)."""
+        return self.sht.map2alm(self.get_sim_tmap(idx))
+
+    def get_sim_eblm(self, idx):
+        q, u = self.get_sim_pmap(idx)
+        return self.sht.map2alm_spin((q, u), 2)
+
+    def get_sim_elm(self, idx):
+        return self.get_sim_eblm(idx)[0]
+
+    def get_sim_blm(self, idx):
+        return self.get_sim_eblm(idx)[1]

@@ -1,0 +1,92 @@
+"""Band-power pipeline integration: Gaussian 'data' + sims, ds/ss legs, RDN0/MCN0, and
+debiased band-powers consistent with zero lensing signal."""
+import os
+import types
+import numpy as np
+
+import plancklens_tpu
+from plancklens_tpu.utils import camb_clfile, cli
+from plancklens_tpu.models.sims import CMBUnlLib, MapsNlevLib
+from plancklens_tpu.models.filt import IVFSepTP, IVFShuffle
+from plancklens_tpu.models.qest import QELib
+from plancklens_tpu.models.qecl import QeClLib
+from plancklens_tpu.models.qresp import RespLib
+from plancklens_tpu.models.nhl import NhlLib, get_nhl
+from plancklens_tpu.models.n1 import N1Lib
+from plancklens_tpu.models.bandpowers import Binner, get_blbubc
+
+LMAX = 96
+LMIN = 8
+NVAR = 6
+
+
+def _parfile():
+    cls_path = os.path.join(plancklens_tpu.DATAPATH, 'cls')
+    cls_len = camb_clfile(os.path.join(cls_path, 'FFP10_wdipole_lensedCls.dat'), lmax=LMAX)
+    transf = np.ones(LMAX + 1)
+    nt2 = (35. / 60. / 180. * np.pi) ** 2
+    np2 = 2 * nt2
+    ftl = cli(cls_len['tt'] + nt2)
+    fel = cli(cls_len['ee'] + np2)
+    fbl = cli(cls_len['bb'] + np2)
+    for fl in (ftl, fel, fbl):
+        fl[:LMIN] = 0.
+    cmb = CMBUnlLib(cls_len, LMAX, fields=('t', 'e', 'b'), seed=11)
+    sims = MapsNlevLib(cmb, transf, 35., 35. * np.sqrt(2.), seed=12)
+    ivfs = IVFSepTP(sims, transf, cls_len, ftl, fel, fbl)
+    nsims = 64
+    ivfs_d = IVFShuffle(ivfs, lambda i: -1)
+    ivfs_s = IVFShuffle(ivfs, lambda i: (i + 1) % nsims)
+    qlms_dd = QELib(ivfs, ivfs, cls_len, LMAX, LMAX)
+    qlms_ds = QELib(ivfs, ivfs_d, cls_len, LMAX, LMAX)
+    qlms_ss = QELib(ivfs, ivfs_s, cls_len, LMAX, LMAX)
+    fal = {'tt': ftl, 'ee': fel, 'bb': fbl}
+    pf = types.SimpleNamespace()
+    pf.ivfs = ivfs
+    pf.mc_sims_var = np.arange(NVAR)
+    pf.mc_sims_bias = np.arange(NVAR, NVAR + 4)
+    pf.qcls_dd = QeClLib(qlms_dd, qlms_dd, np.array([], dtype=int), lmax_qlm=LMAX)
+    pf.qcls_ds = QeClLib(qlms_ds, qlms_ds, np.array([], dtype=int), lmax_qlm=LMAX)
+    pf.qcls_ss = QeClLib(qlms_ss, qlms_ss, np.array([], dtype=int), lmax_qlm=LMAX)
+    pf.qresp_dd = RespLib(LMAX, cls_len, cls_len, fal, LMAX)
+    pf.nhl_dd = NhlLib(ivfs, cls_len, LMAX)
+    pf.n1_dd = N1Lib(cls_len['tt'], cls_len['te'], cls_len['ee'], lmaxphi=200, dL=20)
+    pf.cls_ivfs = {'tt': ftl, 'ee': fel, 'bb': fbl, 'te': cls_len['te'] * ftl * fel}
+    pf.cls_len = cls_len
+    return pf
+
+
+PF = _parfile()
+
+
+def test_blbubc_custom():
+    bl, bu, bc = get_blbubc('8_30_60_96')
+    assert np.all(bl == [8, 30, 60]) and np.all(bu == [29, 59, 96])
+
+
+def test_rdn0_mcn0_vs_analytic():
+    binner = Binner('ptt', 'ptt', PF, '8_30_60_96', lmaxphi=LMAX)
+    mcn0 = binner.get_mcn0()
+    rdn0 = binner.get_rdn0()
+    NG = get_nhl('ptt', 'ptt', PF.cls_len, PF.cls_ivfs, LMAX, LMAX, lmax_out=LMAX)[0]
+    ana = binner._get_binnedcl(cli(binner._qc_resp()) * NG)
+    assert np.all(np.abs(mcn0 / ana - 1.) < 0.4), mcn0 / ana
+    assert np.all(np.abs(rdn0 / ana - 1.) < 0.4), rdn0 / ana
+
+
+def test_debiased_data_consistent_with_zero():
+    # Gaussian skies carry no lensing: dat - RDN0 band-powers should be consistent with 0
+    binner = Binner('ptt', 'ptt', PF, '8_30_60_96', lmaxphi=LMAX)
+    dat = binner.get_dat_bandpowers()
+    rdn0 = binner.get_rdn0()
+    fid = binner.get_fid_bandpowers()
+    # the debiased signal should be much smaller than the N0 scale
+    n0scale = binner.get_mcn0()
+    assert np.all(np.abs(dat - rdn0) < 0.75 * n0scale), (dat - rdn0) / n0scale
+
+
+def test_semianalytic_nhl_of_data():
+    binner = Binner('ptt', 'ptt', PF, '8_30_60_96', lmaxphi=LMAX)
+    nhl_dat = binner.get_dat_nhl()
+    mcn0 = binner.get_mcn0()
+    assert np.all(np.abs(nhl_dat / mcn0 - 1.) < 0.5), nhl_dat / mcn0

@@ -1,0 +1,93 @@
+"""cinv CG filtering tests: homogeneous-noise equivalence with the isotropic filter, and
+masked/inhomogeneous-noise solve validated against a brute-force dense solve."""
+import os
+import numpy as np
+import pytest
+
+import plancklens_tpu
+from plancklens_tpu.utils import camb_clfile, cli, alm as ualm
+from plancklens_tpu.ops.sht import SHT, gl_geometry
+from plancklens_tpu.models.cinv import CinvT
+
+LMAX = 96
+
+
+def _cls():
+    return camb_clfile(os.path.join(plancklens_tpu.DATAPATH, 'cls',
+                                    'FFP10_wdipole_lensedCls.dat'), lmax=LMAX)
+
+
+def _random_tlm(cls, seed=0):
+    rng = np.random.RandomState(seed)
+    ls, ms = ualm._lm_indices(LMAX)
+    a = (rng.standard_normal(len(ls)) + 1j * rng.standard_normal(len(ls))) / np.sqrt(2.)
+    a[ms == 0] = a[ms == 0].real * np.sqrt(2.)
+    return a * np.sqrt(cls['tt'][ls])
+
+
+def test_cinv_homogeneous_matches_isotropic():
+    cls = _cls()
+    geom = gl_geometry(LMAX)
+    sht = SHT(geom, LMAX)
+    nlev = 30.
+    sig_st = (nlev / 60. / 180. * np.pi)  # noise per steradian^(1/2)
+    omega = np.outer(geom.weight, np.full(geom.nphi, 2 * np.pi / geom.nphi))
+    sig_pix = sig_st / np.sqrt(omega)
+    rng = np.random.RandomState(1)
+    transf = np.exp(-0.5 * np.arange(LMAX + 1) * np.arange(1, LMAX + 2)
+                    * (10. / 60. / 180. * np.pi / 2.355) ** 2)
+    tlm = _random_tlm(cls)
+    tmap = np.asarray(sht.alm2map(ualm.almxfl(tlm, LMAX, transf)))
+    tmap = tmap + rng.standard_normal(tmap.shape) * sig_pix
+    ninv = 1. / sig_pix ** 2
+
+    cinv = CinvT(LMAX, geom, cls, transf, ninv, marge_monopole=True, marge_dipole=True,
+                 eps_min=1e-7, iter_max=500, lmax_dense=32)
+    bar_t = np.asarray(cinv.apply_ivf(tmap))[0]
+
+    # isotropic result: bar t = ftl * (map2alm(m)/b)
+    ftl = cli(cls['tt'][:LMAX + 1] + sig_st ** 2 * cli(transf ** 2))
+    ftl[:2] = 0.  # marginalised modes
+    expect = np.asarray(ualm.almxfl(np.asarray(sht.map2alm(tmap)), LMAX, ftl * cli(transf)))
+    num = bar_t.copy()
+    ls, ms = ualm._lm_indices(LMAX)
+    sel = ls >= 2
+    err = np.abs(num[sel] - expect[sel]).max() / np.abs(expect[sel]).max()
+    assert err < 1e-4, err
+
+
+def test_cinv_masked_matches_dense_solve():
+    cls = _cls()
+    geom = gl_geometry(LMAX)
+    sht = SHT(geom, LMAX)
+    nlev = 30.
+    omega = np.outer(geom.weight, np.full(geom.nphi, 2 * np.pi / geom.nphi))
+    sig_pix = (nlev / 60. / 180. * np.pi) / np.sqrt(omega)
+    rng = np.random.RandomState(2)
+    transf = np.ones(LMAX + 1)
+    tlm = _random_tlm(cls, seed=3)
+    tmap = np.asarray(sht.alm2map(tlm)) + rng.standard_normal((geom.nrings, geom.nphi)) * sig_pix
+    # inhomogeneous noise + galactic-like mask
+    ninv = 1. / sig_pix ** 2
+    ninv *= (1. + 0.5 * np.cos(geom.theta))[:, None]  # smooth variation
+    mask = np.abs(np.cos(geom.theta))[:, None] > 0.2  # mask a band around the equator
+    ninv = ninv * mask
+
+    cinv = CinvT(LMAX, geom, cls, transf, ninv, marge_monopole=False, marge_dipole=False,
+                 eps_min=1e-9, iter_max=800, lmax_dense=24)
+    x, it, rel = cinv.solve_wf(tmap)
+    assert np.all(np.asarray(rel) < 1e-6), rel
+
+    # brute-force dense solve of the same (rescaled) system in the rlm basis
+    nrlm = (LMAX + 1) ** 2
+    eye = np.eye(nrlm)
+    basis = ualm.rlm2alm(eye, LMAX)
+    cols = []
+    for i in range(0, nrlm, 512):
+        cols.append(np.asarray(ualm.alm2rlm(cinv.fwd_op(basis[i:i + 512]), LMAX)))
+    A = np.concatenate(cols, axis=0).T
+    b = np.asarray(ualm.alm2rlm(cinv.calc_prep(tmap[None]), LMAX))[0]
+    x_dense = np.linalg.solve(0.5 * (A + A.T), b)
+    x_cg = np.asarray(ualm.alm2rlm(x, LMAX))[0]
+    err = np.abs(x_cg - x_dense).max() / np.abs(x_dense).max()
+    assert err < 1e-4, err
