@@ -250,3 +250,219 @@ class CinvT:
         fl = jnp.asarray(self.rescal_cl * cli(self.dl))
         out = ualm.almxfl(x, self.lmax, fl)
         return (out, it, rel) if ret_it else out
+
+
+class NinvFilterP:
+    """Polarisation (Q, U) pixel-space inverse-noise filtering, spin 2
+    (reference: plancklens/qcinv/opfilt_pp.py:113-303).
+
+    ninv is either a (nrings, nphi) array (QQ = UU, QU = 0) or a triplet
+    (QQ, QU, UU) of such arrays.
+    """
+
+    def __init__(self, geom, ninv, b_transf):
+        self.geom = geom
+        if isinstance(ninv, (list, tuple)):
+            assert len(ninv) in (1, 3)
+            qq = np.asarray(ninv[0])
+            if len(ninv) == 3:
+                qu, uu = np.asarray(ninv[1]), np.asarray(ninv[2])
+            else:
+                qu, uu = np.zeros_like(qq), qq.copy()
+        else:
+            qq = np.asarray(ninv)
+            qu, uu = np.zeros_like(qq), qq.copy()
+        self.ninv = (qq, qu, uu)
+        self.b_transf = np.asarray(b_transf)
+        omega = np.outer(geom.weight, np.full(geom.nphi, 2. * np.pi / geom.nphi))
+        self._st = tuple(jnp.asarray(m / omega) for m in self.ninv)
+        self.nlev_ftl = 10800. / np.sqrt(np.sum(0.5 * (qq + uu)) / (4. * np.pi)) / np.pi
+
+    def hashdict(self):
+        return {'ninv': [clhash(m) for m in self.ninv], 'b_transf': clhash(self.b_transf),
+                'geom': self.geom.hashdict()}
+
+    def apply_map(self, qmap, umap):
+        qq, qu, uu = self._st
+        return qmap * qq[None] + umap * qu[None], qmap * qu[None] + umap * uu[None]
+
+    def make_ops(self, lmax, s_clee, s_clbb, rescal_cl=None):
+        """(fwd_op, calc_prep, pre_op_diag, scal) on stacked (batch, 2, nalm) E/B alms."""
+        if rescal_cl is None:
+            ls = np.arange(lmax + 1, dtype=float)
+            rescal_cl = np.sqrt(ls * (ls + 1.) / (2. * np.pi))
+            rescal_cl[0] = 1.
+        dle = rescal_cl ** 2 * s_clee[:lmax + 1]
+        dlb = rescal_cl ** 2 * s_clbb[:lmax + 1]
+        bdl = self.b_transf[:lmax + 1] * cli(rescal_cl)
+        sht = SHT(self.geom, lmax)
+        dlei = jnp.asarray(cli(dle))
+        dlbi = jnp.asarray(cli(dlb))
+        bdlj = jnp.asarray(bdl)
+
+        def apply_alm(x):
+            e = ualm.almxfl(x[:, 0], lmax, bdlj)
+            b = ualm.almxfl(x[:, 1], lmax, bdlj)
+            q, u = sht.alm2map_spin((e, b), 2)
+            q, u = self.apply_map(q, u)
+            eo, bo = sht.map2alm_spin((q, u), 2)
+            return jnp.stack([ualm.almxfl(eo, lmax, bdlj),
+                              ualm.almxfl(bo, lmax, bdlj)], axis=1)
+
+        def fwd_op(x):
+            si = jnp.stack([ualm.almxfl(x[:, 0], lmax, dlei),
+                            ualm.almxfl(x[:, 1], lmax, dlbi)], axis=1)
+            return si + apply_alm(x)
+
+        def calc_prep(qmaps, umaps):
+            q, u = self.apply_map(jnp.asarray(qmaps), jnp.asarray(umaps))
+            e, b = sht.map2alm_spin((q, u), 2)
+            return jnp.stack([ualm.almxfl(e, lmax, bdlj),
+                              ualm.almxfl(b, lmax, bdlj)], axis=1)
+
+        qq, qu, uu = self.ninv
+        ninv_cl = np.sum(0.5 * (qq + uu)) / (4. * np.pi)
+        diag_e = cli(cli(dle) + ninv_cl * bdl ** 2)
+        diag_b = cli(cli(dlb) + ninv_cl * bdl ** 2)
+        de, db = jnp.asarray(diag_e), jnp.asarray(diag_b)
+
+        def pre_op_diag(r):
+            return jnp.stack([ualm.almxfl(r[:, 0], lmax, de),
+                              ualm.almxfl(r[:, 1], lmax, db)], axis=1)
+
+        return fwd_op, calc_prep, pre_op_diag, (rescal_cl, dle, dlb)
+
+
+class CinvP:
+    """Polarisation cinv filter (reference: plancklens/filt/filt_cinv.py:206-338)."""
+
+    def __init__(self, lmax, geom, cl, transf, ninv, eps_min=1e-5, iter_max=300):
+        self.lmax = lmax
+        self.geom = geom
+        self.cl = cl
+        self.transf = np.asarray(transf)[:lmax + 1]
+        self.filt = NinvFilterP(geom, ninv, self.transf)
+        self.eps_min = eps_min
+        self.iter_max = iter_max
+        self.fwd_op, self.calc_prep, self.pre_op, (self.rescal_cl, self.dle, self.dlb) = \
+            self.filt.make_ops(lmax, cl['ee'], cl['bb'])
+        self._ms = _lm_ms(lmax)
+
+    def hashdict(self):
+        return {'lmax': self.lmax, 'clee': clhash(self.cl['ee'][:self.lmax + 1]),
+                'clbb': clhash(self.cl['bb'][:self.lmax + 1]),
+                'transf': clhash(self.transf), 'ninv': self.filt.hashdict()}
+
+    def get_fel(self):
+        nlev = self.filt.nlev_ftl
+        fel = cli(self.cl['ee'][:self.lmax + 1]
+                  + (nlev / 60. / 180. * np.pi) ** 2 * cli(self.transf ** 2))
+        fel[:2] *= 0.
+        return fel
+
+    def get_fbl(self):
+        nlev = self.filt.nlev_ftl
+        fbl = cli(self.cl['bb'][:self.lmax + 1]
+                  + (nlev / 60. / 180. * np.pi) ** 2 * cli(self.transf ** 2))
+        fbl[:2] *= 0.
+        return fbl
+
+    def _dot_ms(self):
+        # stacked (batch, 2, nalm) treated as a single vector
+        return self._ms
+
+    def solve_wf(self, qmaps, umaps, x0=None):
+        qmaps = jnp.asarray(qmaps)
+        if qmaps.ndim == 2:
+            qmaps, umaps = qmaps[None], jnp.asarray(umaps)[None]
+        b = self.calc_prep(qmaps, jnp.asarray(umaps))
+        if x0 is None:
+            x0 = jnp.zeros_like(b)
+        bsz = b.shape[0]
+        bf = b.reshape(bsz, -1)
+        x0f = x0.reshape(bsz, -1)
+        ms2 = jnp.concatenate([self._ms, self._ms])
+
+        def fwd_flat(xf):
+            return self.fwd_op(xf.reshape(b.shape)).reshape(bsz, -1)
+
+        def pre_flat(rf):
+            return self.pre_op(rf.reshape(b.shape)).reshape(bsz, -1)
+
+        xf, it, rel = cg.pcg(fwd_flat, pre_flat, bf, x0f, self.iter_max,
+                             self.eps_min, ms2)
+        return xf.reshape(b.shape), it, rel
+
+    def apply_ivf(self, qmaps, umaps, ret_it=False):
+        """(bar e, bar b) = C^{-1}-weighted inverse-variance filtered E/B alms."""
+        x, it, rel = self.solve_wf(qmaps, umaps)
+        fle = jnp.asarray(self.rescal_cl * cli(self.dle))
+        flb = jnp.asarray(self.rescal_cl * cli(self.dlb))
+        e = ualm.almxfl(x[:, 0], self.lmax, fle)
+        b = ualm.almxfl(x[:, 1], self.lmax, flb)
+        return ((e, b), it, rel) if ret_it else (e, b)
+
+
+class IVFCinv:
+    """ivfs-interface adapter over CinvT/CinvP instances filtering a map-space sim library
+    (reference: plancklens/filt/filt_cinv.py:515-626)."""
+
+    def __init__(self, cinv_t, cinv_p, sim_lib, cl_weights):
+        self.cinv_t = cinv_t
+        self.cinv_p = cinv_p
+        self.sim_lib = sim_lib
+        self.cl = cl_weights
+        self._cache = {}
+
+    def hashdict(self):
+        return {'cinv_t': self.cinv_t.hashdict() if self.cinv_t else 0,
+                'cinv_p': self.cinv_p.hashdict() if self.cinv_p else 0,
+                'sims': self.sim_lib.hashdict()}
+
+    def get_ftl(self):
+        return self.cinv_t.get_ftl()
+
+    def get_fel(self):
+        return self.cinv_p.get_fel()
+
+    def get_fbl(self):
+        return self.cinv_p.get_fbl()
+
+    def get_tal(self, a):
+        return cli(self.cinv_t.transf if a == 't' else self.cinv_p.transf)
+
+    def get_fmask(self):
+        return self.cinv_t.get_fmask()
+
+    def get_sim_tlm(self, idx):
+        key = ('t', idx)
+        if key not in self._cache:
+            tmap = self.sim_lib.get_sim_tmap(idx)
+            self._cache[key] = np.asarray(self.cinv_t.apply_ivf(tmap))[0]
+        return jnp.asarray(self._cache[key])
+
+    def _eb(self, idx):
+        key = ('eb', idx)
+        if key not in self._cache:
+            q, u = self.sim_lib.get_sim_pmap(idx)
+            e, b = self.cinv_p.apply_ivf(q, u)
+            self._cache[key] = (np.asarray(e)[0], np.asarray(b)[0])
+        return self._cache[key]
+
+    def get_sim_elm(self, idx):
+        return jnp.asarray(self._eb(idx)[0])
+
+    def get_sim_blm(self, idx):
+        return jnp.asarray(self._eb(idx)[1])
+
+    def get_sim_tmliklm(self, idx):
+        lmax = self.cinv_t.lmax
+        return ualm.almxfl(self.get_sim_tlm(idx), lmax, jnp.asarray(self.cl['tt'][:lmax + 1]))
+
+    def get_sim_emliklm(self, idx):
+        lmax = self.cinv_p.lmax
+        return ualm.almxfl(self.get_sim_elm(idx), lmax, jnp.asarray(self.cl['ee'][:lmax + 1]))
+
+    def get_sim_bmliklm(self, idx):
+        lmax = self.cinv_p.lmax
+        return ualm.almxfl(self.get_sim_blm(idx), lmax, jnp.asarray(self.cl['bb'][:lmax + 1]))

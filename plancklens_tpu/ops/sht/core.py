@@ -123,37 +123,56 @@ def _legendre_scan(mode, S, C_or_Q, alpha, beta, gamma, l0, seed_v, seed_k, x):
         fac = jnp.where(cond, down, jnp.ones_like(d_next))
         return d_new * fac, d_next * fac, k + cond.astype(jnp.int32)
 
-    ls = jnp.arange(lmaxp1, dtype=jnp.int32)
+    # chunk the l loop: the recursion state stays register/VMEM-resident across CHUNK
+    # steps and the large (batch, nrings, m) accumulator is read/written once per chunk
+    # instead of once per l — the accumulator's HBM traffic dominates otherwise
+    CHUNK = 8
+    npad = (-lmaxp1) % CHUNK
+    nchunks = (lmaxp1 + npad) // CHUNK
+
+    def pad_l(arr):
+        return jnp.pad(arr, ((0, npad),) + ((0, 0),) * (arr.ndim - 1))
+
+    ls = jnp.arange(lmaxp1 + npad, dtype=jnp.int32)  # padded l >= lmaxp1 contribute 0
+    alpha_p, beta_p, gamma_p = pad_l(alpha), pad_l(beta), pad_l(gamma)
+    adtype = jnp.zeros(0, dtype=C_or_Q.dtype).real.dtype
+
+    def reshape_chunks(arr):
+        return arr.reshape((nchunks, CHUNK) + arr.shape[1:])
+
     if mode == 'synth':
         acc0 = jnp.zeros((batch, nrings, mmaxp1), dtype=C_or_Q.dtype)
-
-        adtype = jnp.zeros(0, dtype=C_or_Q.dtype).real.dtype  # accumulate in input precision
+        C_l = pad_l(jnp.moveaxis(C_or_Q, 1, 0))  # (lmax+1+pad, batch, mmaxp1)
 
         def step_s(carry, xs):
-            l, al, bl, gl, Cl = xs
+            lc, alc, blc, glc, Clc = xs
             d_m1, d, k, acc = carry
-            deff = (d * jnp.exp2((S * k).astype(rdtype))).astype(adtype)
-            acc = acc + Cl[:, None, :] * deff[None, :, :]
-            d_m1, d, k = recurse(l, d_m1, d, k, al, bl, gl)
-            return (d_m1, d, k, acc), None
+            local = jnp.zeros(acc.shape, dtype=acc.dtype)
+            for j in range(CHUNK):
+                deff = (d * jnp.exp2((S * k).astype(rdtype))).astype(adtype)
+                local = local + Clc[j][:, None, :] * deff[None, :, :]
+                d_m1, d, k = recurse(lc[j], d_m1, d, k, alc[j], blc[j], glc[j])
+            return (d_m1, d, k, acc + local), None
 
-        xs = (ls, alpha, beta, gamma, jnp.moveaxis(C_or_Q, 1, 0))
+        xs = tuple(reshape_chunks(a) for a in (ls, alpha_p, beta_p, gamma_p, C_l))
         (_, _, _, acc), _ = jax.lax.scan(step_s, (d_m1, d, k, acc0), xs)
         return acc
     else:
         Q = C_or_Q  # (batch, nrings, mmaxp1)
 
-        adtype = jnp.zeros(0, dtype=C_or_Q.dtype).real.dtype
-
         def step_a(carry, xs):
-            l, al, bl, gl = xs
+            lc, alc, blc, glc = xs
             d_m1, d, k = carry
-            deff = (d * jnp.exp2((S * k).astype(rdtype))).astype(adtype)
-            emit = jnp.einsum('brm,rm->bm', Q, deff)
-            d_m1, d, k = recurse(l, d_m1, d, k, al, bl, gl)
-            return (d_m1, d, k), emit
+            emits = []
+            for j in range(CHUNK):
+                deff = (d * jnp.exp2((S * k).astype(rdtype))).astype(adtype)
+                emits.append(jnp.einsum('brm,rm->bm', Q, deff))
+                d_m1, d, k = recurse(lc[j], d_m1, d, k, alc[j], blc[j], glc[j])
+            return (d_m1, d, k), jnp.stack(emits)
 
-        _, emits = jax.lax.scan(step_a, (d_m1, d, k), (ls, alpha, beta, gamma))
+        xs = tuple(reshape_chunks(a) for a in (ls, alpha_p, beta_p, gamma_p))
+        _, emits = jax.lax.scan(step_a, (d_m1, d, k), xs)
+        emits = emits.reshape((nchunks * CHUNK,) + emits.shape[2:])[:lmaxp1]
         return jnp.moveaxis(emits, 0, 1)  # (batch, lmax+1, mmaxp1)
 
 

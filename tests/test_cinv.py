@@ -91,3 +91,38 @@ def test_cinv_masked_matches_dense_solve():
     x_cg = np.asarray(ualm.alm2rlm(x, LMAX))[0]
     err = np.abs(x_cg - x_dense).max() / np.abs(x_dense).max()
     assert err < 1e-4, err
+
+
+def test_cinv_pol_homogeneous_matches_isotropic():
+    from plancklens_tpu.models.cinv import CinvP
+    cls = _cls()
+    geom = gl_geometry(LMAX)
+    sht = SHT(geom, LMAX)
+    nlev = 40.
+    sig_st = (nlev / 60. / 180. * np.pi)
+    omega = np.outer(geom.weight, np.full(geom.nphi, 2 * np.pi / geom.nphi))
+    sig_pix = sig_st / np.sqrt(omega)
+    rng = np.random.RandomState(5)
+    transf = np.ones(LMAX + 1)
+    ls, ms = ualm._lm_indices(LMAX)
+    elm = _random_tlm({'tt': cls['ee']}, seed=6)
+    blm = _random_tlm({'tt': cls['bb']}, seed=7)
+    elm[ls < 2] = 0.
+    blm[ls < 2] = 0.
+    q, u = sht.alm2map_spin((elm, blm), 2)
+    q = np.asarray(q) + rng.standard_normal(sig_pix.shape) * sig_pix
+    u = np.asarray(u) + rng.standard_normal(sig_pix.shape) * sig_pix
+    ninv = 1. / sig_pix ** 2
+    cinv = CinvP(LMAX, geom, cls, transf, ninv, eps_min=1e-7, iter_max=500)
+    eb, it, rel = cinv.solve_wf(q, u)
+    ebar, bbar = cinv.apply_ivf(q, u)
+    fel = cli(cls['ee'][:LMAX + 1] + sig_st ** 2)
+    fbl = cli(cls['bb'][:LMAX + 1] + sig_st ** 2)
+    e0, b0 = sht.map2alm_spin((q, u), 2)
+    expect_e = np.asarray(ualm.almxfl(np.asarray(e0), LMAX, fel))
+    expect_b = np.asarray(ualm.almxfl(np.asarray(b0), LMAX, fbl))
+    sel = ls >= 2
+    err_e = np.abs(np.asarray(ebar)[0][sel] - expect_e[sel]).max() / np.abs(expect_e[sel]).max()
+    err_b = np.abs(np.asarray(bbar)[0][sel] - expect_b[sel]).max() / np.abs(expect_b[sel]).max()
+    assert err_e < 1e-3, err_e
+    assert err_b < 1e-3, err_b
