@@ -117,3 +117,152 @@ def get_N0(beam_fwhm=1.4, nlev_t=5., nlev_p=None, lmax_CMB=3000, lmin_CMB=100,
         N0s[ksource] = cli(RG ** 2) * NG
         N0_curls[ksource] = cli(RC ** 2) * NC
     return N0s, N0_curls
+
+
+def cls2dls(cls):
+    """cls dict -> (N, 4) D_l array + D-scaled clpp (reference: plancklens/nhl.py:191-205)."""
+    keys = ['tt', 'ee', 'bb', 'te']
+    lmax = np.max([len(cl) for cl in cls.values()]) - 1
+    dls = np.zeros((lmax + 1, 4), dtype=float)
+    refac = np.arange(lmax + 1) * np.arange(1, lmax + 2, dtype=float) / (2. * np.pi)
+    for i, k in enumerate(keys):
+        cl = cls.get(k, np.zeros(lmax + 1, dtype=float))
+        sli = slice(0, min(len(cl), lmax + 1))
+        dls[sli, i] = cl[sli] * refac[sli]
+    cldd = np.copy(cls.get('pp', None))
+    if cldd is not None:
+        cldd *= np.arange(len(cldd)) ** 2 * np.arange(1, len(cldd) + 1, dtype=float) ** 2 \
+            / (2. * np.pi)
+    return dls, cldd
+
+
+def dls2cls(dls):
+    """Inverse of cls2dls (reference: plancklens/nhl.py:207-214)."""
+    assert dls.shape[1] == 4
+    lmax = dls.shape[0] - 1
+    cls = {}
+    refac = 2. * np.pi * cli(np.arange(lmax + 1) * np.arange(1, lmax + 2, dtype=float))
+    for i, k in enumerate(['tt', 'ee', 'bb', 'te']):
+        cls[k] = dls[:, i] * refac
+    return cls
+
+
+def get_N0_iter(qe_key, nlev_t, nlev_p, beam_fwhm, cls_unl_fid, lmin_ivf, lmax_ivf,
+                itermax, cls_unl_dat=None, lmax_qlm=None, ret_delcls=False,
+                datnoise_cls=None, unlQE=False):
+    """Iterative (MAP-estimator forecast) lensing N0 (reference: plancklens/nhl.py:217-397).
+
+    Iteratively computes partially-delensed spectra and the corresponding N0; the partially
+    lensed spectra come from the built-in correlation-function lensed_cls operator
+    (ops/lensed_cls) instead of the camb dependency of the reference.
+
+    Returns (N0s_biased, N0s_unbiased) arrays of shape (itermax+1, lmax_qlm+1)
+    [+ (delcls_fid, delcls_true) with ret_delcls].
+    """
+    from ..ops.lensed_cls import lensed_cls as _lensed_cls
+    from . import nhl as nhl_mod
+    assert qe_key in ['p_p', 'p', 'ptt'], qe_key
+
+    def _lencls(cls_unl_dict, cldd):
+        lmaxp = len(cldd) - 1
+        wpp = cli(np.arange(lmaxp + 1) ** 2 * np.arange(1, lmaxp + 2, dtype=float) ** 2
+                  / (2. * np.pi))
+        clpp = cldd * wpp
+        out = _lensed_cls(cls_unl_dict, clpp, lmax_out=min(
+            len(cls_unl_dict['tt']) - 1, lmax_ivf + 500))
+        return out
+
+    if lmax_qlm is None:
+        lmax_qlm = 2 * lmax_ivf
+    lmax_qlm = min(lmax_qlm, 2 * lmax_ivf)
+    lmin_ivf = max(lmin_ivf, 1)
+    transfi2 = cli(gauss_beam(beam_fwhm, lmax_ivf)) ** 2
+    llp2 = np.arange(lmax_qlm + 1, dtype=float) ** 2 \
+        * np.arange(1, lmax_qlm + 2, dtype=float) ** 2 / (2. * np.pi)
+    if datnoise_cls is None:
+        datnoise_cls = dict()
+        if qe_key in ['ptt', 'p']:
+            datnoise_cls['tt'] = (nlev_t * np.pi / 180. / 60.) ** 2 * transfi2
+        if qe_key in ['p_p', 'p']:
+            datnoise_cls['ee'] = (nlev_p * np.pi / 180. / 60.) ** 2 * transfi2
+            datnoise_cls['bb'] = (nlev_p * np.pi / 180. / 60.) ** 2 * transfi2
+    N0s_biased, N0s_unbiased = [], []
+    delcls_fid, delcls_true = [], []
+    N0_unbiased = np.inf
+
+    _, cldd_fid0 = cls2dls(cls_unl_fid)
+    cls_len_fid = _lencls(cls_unl_fid, cldd_fid0)
+    if cls_unl_dat is None:
+        cls_unl_dat = cls_unl_fid
+        cls_len_true = cls_len_fid
+    else:
+        _, cldd_true0 = cls2dls(cls_unl_dat)
+        cls_len_true = _lencls(cls_unl_dat, cldd_true0)
+
+    for it in range(itermax + 1):
+        _, cldd_true = cls2dls(cls_unl_dat)
+        _, cldd_fid = cls2dls(cls_unl_fid)
+        if it == 0:
+            rho_sqd_phi = 0.
+        else:
+            rho_sqd_phi = np.zeros(len(cldd_true))
+            rho_sqd_phi[:lmax_qlm + 1] = cldd_true[:lmax_qlm + 1] * cli(
+                cldd_true[:lmax_qlm + 1] + llp2 * N0_unbiased[:lmax_qlm + 1])
+        cldd_true = cldd_true * (1. - rho_sqd_phi)
+        cldd_fid = cldd_fid * (1. - rho_sqd_phi)
+        cls_plen_fid = _lencls(cls_unl_fid, cldd_fid)
+        cls_plen_true = _lencls(cls_unl_dat, cldd_true) if cls_unl_dat is not cls_unl_fid \
+            else {k: np.copy(v) for k, v in cls_plen_fid.items()}
+
+        cls_filt = cls_plen_fid if not unlQE else cls_unl_fid
+        cls_w = cls_plen_fid if not unlQE else cls_unl_fid
+        cls_f = cls_plen_true
+        fal, dat_delcls = {}, {}
+        if qe_key in ['ptt', 'p']:
+            fal['tt'] = cls_filt['tt'][:lmax_ivf + 1] \
+                + (nlev_t * np.pi / 180. / 60.) ** 2 * transfi2
+            dat_delcls['tt'] = cls_plen_true['tt'][:lmax_ivf + 1] + datnoise_cls['tt']
+        if qe_key in ['p_p', 'p']:
+            fal['ee'] = cls_filt['ee'][:lmax_ivf + 1] \
+                + (nlev_p * np.pi / 180. / 60.) ** 2 * transfi2
+            fal['bb'] = cls_filt['bb'][:lmax_ivf + 1] \
+                + (nlev_p * np.pi / 180. / 60.) ** 2 * transfi2
+            dat_delcls['ee'] = cls_plen_true['ee'][:lmax_ivf + 1] + datnoise_cls['ee']
+            dat_delcls['bb'] = cls_plen_true['bb'][:lmax_ivf + 1] + datnoise_cls['bb']
+        if qe_key in ['p']:
+            fal['te'] = np.copy(cls_filt['te'][:lmax_ivf + 1])
+            dat_delcls['te'] = np.copy(cls_plen_true['te'][:lmax_ivf + 1])
+        fal = cl_inverse(fal)
+        for cl in fal.values():
+            cl[:lmin_ivf] *= 0.
+        for cl in dat_delcls.values():
+            cl[:lmin_ivf] *= 0.
+        cls_ivfs_arr = cls_dot([fal, dat_delcls, fal])
+        cls_ivfs = dict()
+        for i, a in enumerate(['t', 'e', 'b']):
+            for j, b in enumerate(['t', 'e', 'b'][i:]):
+                if np.any(cls_ivfs_arr[i, j + i]):
+                    cls_ivfs[a + b] = cls_ivfs_arr[i, j + i]
+
+        n_gg = nhl_mod.get_nhl(qe_key, qe_key, cls_w, cls_ivfs, lmax_ivf, lmax_ivf,
+                               lmax_out=lmax_qlm)[0]
+        r_gg_true = qresp.get_response(qe_key, lmax_ivf, 'p', cls_w, cls_f, fal,
+                                       lmax_qlm=lmax_qlm)[0]
+        r_gg_fid = r_gg_true if cls_f is cls_w else \
+            qresp.get_response(qe_key, lmax_ivf, 'p', cls_w, cls_w, fal,
+                               lmax_qlm=lmax_qlm)[0]
+        N0_biased = n_gg * cli(r_gg_fid ** 2)
+        N0_unbiased = n_gg * cli(r_gg_true ** 2)
+        N0s_biased.append(N0_biased)
+        N0s_unbiased.append(N0_unbiased)
+        wp_i = cli(np.arange(len(cldd_true)) ** 2
+                   * np.arange(1, len(cldd_true) + 1, dtype=float) ** 2 / (2. * np.pi))
+        cls_plen_true['pp'] = cldd_true * wp_i
+        cls_plen_fid['pp'] = cldd_fid * wp_i
+        delcls_fid.append(cls_plen_fid)
+        delcls_true.append(cls_plen_true)
+
+    ret = (np.array(N0s_biased), np.array(N0s_unbiased))
+    if ret_delcls:
+        ret = ret + (delcls_fid, delcls_true)
+    return ret

@@ -1,1 +1,1 @@
-from . import gauleg, wigner
+from . import gauleg, wigner, lensed_cls, n1kern, cg, lensing
