@@ -314,3 +314,76 @@ class RespLib:
             if s > 0:
                 self.cacher.cache('qe_' + ksp + k[1:] + '_source_%s_' % ksource + 'CC', CC)
         return np.asarray(self.cacher.load(fn))
+
+
+def get_mf_resp(qe_key, cls_cmb, cls_ivfs, lmax_qe, lmax_out, retterms=False):
+    """Deflection-induced mean-field response (Carron & Lewis 2019)
+    (reference: plancklens/qresp.py:421-501)."""
+    assert qe_key in ['p_p', 'ptt'], qe_key
+    GL = np.zeros(lmax_out + 1, dtype=float)
+    CL = np.zeros(lmax_out + 1, dtype=float)
+    if qe_key == 'ptt':
+        lmax_cmb = len(cls_cmb['tt']) - 1
+        spins = [0]
+    elif qe_key == 'p_p':
+        lmax_cmb = min(len(cls_cmb['ee']) - 1, len(cls_cmb['bb']) - 1)
+        spins = [-2, 2]
+    else:
+        assert 0
+    assert lmax_qe <= lmax_cmb
+    if qe_key == 'ptt':
+        cl_cmbtoticmb = {'tt': cls_cmb['tt'][:lmax_qe + 1] ** 2 * cls_ivfs['tt'][:lmax_qe + 1]}
+        cl_cmbtoti = {'tt': cls_cmb['tt'][:lmax_qe + 1] * cls_ivfs['tt'][:lmax_qe + 1]}
+    else:
+        cl_cmbtoticmb = {'ee': cls_cmb['ee'][:lmax_qe + 1] ** 2 * cls_ivfs['ee'][:lmax_qe + 1],
+                         'bb': cls_cmb['bb'][:lmax_qe + 1] ** 2 * cls_ivfs['bb'][:lmax_qe + 1]}
+        cl_cmbtoti = {'ee': cls_cmb['ee'][:lmax_qe + 1] * cls_ivfs['ee'][:lmax_qe + 1],
+                      'bb': cls_cmb['bb'][:lmax_qe + 1] * cls_ivfs['bb'][:lmax_qe + 1]}
+    FisherGII = np.zeros(lmax_out + 1, dtype=float)
+    FisherCII = np.zeros(lmax_out + 1, dtype=float)
+    terms = {'GK': np.zeros(lmax_out + 1), 'GxiK': np.zeros(lmax_out + 1)}
+    for s1 in spins:  # (xi K xi - xi)(K)-type terms
+        for s2 in spins:
+            cl1 = uspin.spin_cls(s1, s2, cls_ivfs)[:lmax_qe + 1] \
+                * (0.5 ** (s1 != 0) * 0.5 ** (s2 != 0))
+            cl2 = np.copy(uspin.spin_cls(s2, s1, cls_cmb)[:lmax_cmb + 1])
+            cl2[:lmax_qe + 1] -= uspin.spin_cls(s2, s1, cl_cmbtoticmb)[:lmax_qe + 1]
+            if np.any(cl1) and np.any(cl2):
+                for a in [-1, 1]:
+                    ai = uspin.get_spin_lower(s2, lmax_cmb) if a == -1 \
+                        else uspin.get_spin_raise(s2, lmax_cmb)
+                    for b in [1]:  # (a, b) symmetry
+                        aj = uspin.get_spin_lower(-s1, lmax_cmb) if b == 1 \
+                            else uspin.get_spin_raise(-s1, lmax_cmb)
+                        hL = 2 * (-1) ** (s1 + s2) * wignerc(
+                            cl1, cl2 * ai * aj, s2, s1, -s2 - a, -s1 - b, lmax_out=lmax_out)
+                        GL += (-a * b) * hL
+                        CL += (-1) * hL
+    for s1 in spins:  # (xi K)(xi K)-type terms
+        for s2 in spins:
+            cl1 = uspin.spin_cls(s2, s1, cl_cmbtoti)[:lmax_qe + 1] * (0.5 ** (s1 != 0))
+            cl2 = uspin.spin_cls(s1, s2, cl_cmbtoti)[:lmax_qe + 1] * (0.5 ** (s2 != 0))
+            if np.any(cl1) and np.any(cl2):
+                for a in [-1, 1]:
+                    ai = uspin.get_spin_lower(s2, lmax_qe) if a == -1 \
+                        else uspin.get_spin_raise(s2, lmax_qe)
+                    for b in [1]:
+                        aj = uspin.get_spin_lower(s1, lmax_qe) if b == 1 \
+                            else uspin.get_spin_raise(s1, lmax_qe)
+                        hL = 2 * (-1) ** (s1 + s2) * wignerc(
+                            cl1 * ai, cl2 * aj, -s2 - a, -s1, s2, s1 - b, lmax_out=lmax_out)
+                        FisherGII += (-a * b) * hL
+                        FisherCII += (-1) * hL
+    terms['GK'] += GL
+    terms['GxiK'] -= FisherGII
+    GL -= FisherGII
+    CL -= FisherCII
+    terms['Gcons'] = -np.ones_like(GL) * CL[1]
+    GL -= CL[1]
+    CL -= CL[1]
+    fac = 0.25 * np.arange(lmax_out + 1) * np.arange(1, lmax_out + 2)
+    GL *= fac
+    CL *= fac
+    for term in terms.values():
+        term *= fac
+    return (GL, CL) if not retterms else (GL, CL, terms)
