@@ -81,9 +81,10 @@ def recursion_tables(lmax, mmax, n, theta, grid_token=None, dtype=np.float64):
     xi = np.array([_xi_sign(int(m), n) for m in range(mmax + 1)])[None, :]
     seed_k = np.minimum(np.floor(log2v / S), 0.).astype(np.int32)
     seed_v = (xi * np.exp2(log2v - S * seed_k.astype(np.float64))).astype(dtype)
-    out = dict(alpha=alpha.astype(dtype), beta=beta.astype(dtype),
-               gamma=gamma.astype(dtype), l0=l0.astype(np.int32),
-               seed_v=seed_v, seed_k=seed_k, S=S)
+    out = dict(alpha=jnp.asarray(alpha.astype(dtype)), beta=jnp.asarray(beta.astype(dtype)),
+               gamma=jnp.asarray(gamma.astype(dtype)), l0=jnp.asarray(l0.astype(np.int32)),
+               seed_v=jnp.asarray(seed_v), seed_k=jnp.asarray(seed_k), S=S,
+               x=jnp.asarray(np.cos(np.asarray(theta, dtype=np.float64)).astype(dtype)))
     if key is not None:
         if len(_TABLE_CACHE) >= _TABLE_CACHE_MAX:
             _TABLE_CACHE.pop(next(iter(_TABLE_CACHE)))
@@ -181,19 +182,13 @@ def legendre_synth(C, n, theta, grid_token=None, dtype=np.float64):
     lmax = C.shape[-2] - 1
     mmax = C.shape[-1] - 1
     t = recursion_tables(lmax, mmax, n, theta, grid_token=grid_token, dtype=dtype)
-    x = np.cos(np.asarray(theta))
-    return _legendre_scan('synth', t['S'], jnp.asarray(C), jnp.asarray(t['alpha']),
-                          jnp.asarray(t['beta']), jnp.asarray(t['gamma']),
-                          jnp.asarray(t['l0']), jnp.asarray(t['seed_v']),
-                          jnp.asarray(t['seed_k']), jnp.asarray(x))
+    return _legendre_scan('synth', t['S'], jnp.asarray(C), t['alpha'], t['beta'],
+                          t['gamma'], t['l0'], t['seed_v'], t['seed_k'], t['x'])
 
 
 def legendre_anal(Q, n, theta, lmax, grid_token=None, dtype=np.float64):
     """C_{lm} = sum_j Q_{jm} d^l_{m,n}(theta_j); Q (batch, nrings, mmax+1)."""
     mmax = Q.shape[-1] - 1
     t = recursion_tables(lmax, mmax, n, theta, grid_token=grid_token, dtype=dtype)
-    x = np.cos(np.asarray(theta))
-    return _legendre_scan('anal', t['S'], jnp.asarray(Q), jnp.asarray(t['alpha']),
-                          jnp.asarray(t['beta']), jnp.asarray(t['gamma']),
-                          jnp.asarray(t['l0']), jnp.asarray(t['seed_v']),
-                          jnp.asarray(t['seed_k']), jnp.asarray(x))
+    return _legendre_scan('anal', t['S'], jnp.asarray(Q), t['alpha'], t['beta'],
+                          t['gamma'], t['l0'], t['seed_v'], t['seed_k'], t['x'])

@@ -68,8 +68,8 @@ def _synth_kernel(S, LC, alpha_ref, beta_ref, gamma_ref, l0_ref,
     k_ref[:, :] = k
 
 
-@partial(jax.jit, static_argnums=(0,))
-def _synth_pallas(S, alpha, beta, gamma, l0, seed_v, seed_k, x, C_re, C_im):
+@partial(jax.jit, static_argnums=(0, 10))
+def _synth_pallas(S, alpha, beta, gamma, l0, seed_v, seed_k, x, C_re, C_im, interpret=False):
     """(B, R, M) real/imag G from (lmax+1, B, M) C coefficient arrays (all f32)."""
     lmaxp1, B, M = C_re.shape
     R = x.shape[0]
@@ -122,11 +122,12 @@ def _synth_pallas(S, alpha, beta, gamma, l0, seed_v, seed_k, x, C_re, C_im):
         scratch_shapes=[pltpu.VMEM((R_T, M_T), jnp.float32),
                         pltpu.VMEM((R_T, M_T), jnp.float32),
                         pltpu.VMEM((R_T, M_T), jnp.int32)],
+        interpret=interpret,
     )(alpha, beta, gamma, l0p, seed_v, seed_k, xp, C_re, C_im)
     return ore[:, :R, :M], oim[:, :R, :M]
 
 
-def legendre_synth_pallas(C, tables, x):
+def legendre_synth_pallas(C, tables, x, interpret=False):
     """Drop-in synthesis using the Pallas kernel; C (batch, lmax+1, mmax+1) complex64."""
     C = jnp.asarray(C)
     Cl = jnp.moveaxis(C, 1, 0)  # (lmax+1, B, M)
@@ -139,5 +140,5 @@ def legendre_synth_pallas(C, tables, x):
                              jnp.asarray(tables['seed_k']),
                              jnp.asarray(x, jnp.float32),
                              jnp.real(Cl).astype(jnp.float32),
-                             jnp.imag(Cl).astype(jnp.float32))
+                             jnp.imag(Cl).astype(jnp.float32), interpret)
     return ore + 1j * oim
