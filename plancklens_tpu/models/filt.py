@@ -168,3 +168,35 @@ class IVFFtl:
 
     def get_sim_bmliklm(self, idx):
         return self._apply(self.ivfs.get_sim_bmliklm(idx), self.lb)
+
+
+class IVFFml:
+    """m-dependent rescaling of a filtering library (reference:
+    plancklens/filt/filt_util.py:106-182): filtered alms are multiplied by fl(l, m)."""
+
+    def __init__(self, ivfs, fmlmat_t, fmlmat_e, fmlmat_b):
+        self.ivfs = ivfs
+        self._fm = {'t': np.asarray(fmlmat_t), 'e': np.asarray(fmlmat_e),
+                    'b': np.asarray(fmlmat_b)}
+
+    def hashdict(self):
+        return {'ivfs': self.ivfs.hashdict(),
+                **{'fml' + k: clhash(v) for k, v in self._fm.items()}}
+
+    def _apply(self, alm, key):
+        lmax = ualm.getlmax(np.asarray(alm).shape[-1])
+        ls, ms = ualm._lm_indices(lmax)
+        fl = self._fm[key]
+        return jnp.asarray(alm) * jnp.asarray(fl[ls, ms])
+
+    def get_sim_tlm(self, idx):
+        return self._apply(self.ivfs.get_sim_tlm(idx), 't')
+
+    def get_sim_elm(self, idx):
+        return self._apply(self.ivfs.get_sim_elm(idx), 'e')
+
+    def get_sim_blm(self, idx):
+        return self._apply(self.ivfs.get_sim_blm(idx), 'b')
+
+    def __getattr__(self, name):
+        return getattr(self.ivfs, name)

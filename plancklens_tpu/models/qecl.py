@@ -118,3 +118,30 @@ class QeClLib:
         if mfB is not None:
             qB = qB - mfB[None, :]
         return np.asarray(ualm.alm2cl(qA, self.lmax_qlm, alm2=qB))
+
+
+class QeClAverage:
+    """Average of several QE-spectra libraries (e.g. over data splits)
+    (reference: plancklens/qecl.py:151-224)."""
+
+    def __init__(self, qcls_libs, weights=None):
+        self.libs = list(qcls_libs)
+        self.weights = np.full(len(self.libs), 1. / len(self.libs)) if weights is None \
+            else np.asarray(weights, dtype=float) / np.sum(weights)
+        self.lmax_qlm = self.libs[0].lmax_qlm
+
+    def hashdict(self):
+        return {'libs': [lib.hashdict() for lib in self.libs],
+                'weights': tuple(self.weights)}
+
+    def get_sim_qcl(self, k1, idx, k2=None, idx2=None):
+        ret = 0.
+        for w, lib in zip(self.weights, self.libs):
+            ret = ret + w * lib.get_sim_qcl(k1, idx, k2=k2, idx2=idx2)
+        return ret
+
+    def get_sim_stats_qcl(self, k1, mc_sims, k2=None):
+        st = stats(self.lmax_qlm + 1, docov=False)
+        for idx in mc_sims:
+            st.add(self.get_sim_qcl(k1, int(idx), k2=k2))
+        return st

@@ -15,9 +15,9 @@ from plancklens_tpu.models.nhl import NhlLib, get_nhl
 from plancklens_tpu.models.n1 import N1Lib
 from plancklens_tpu.models.bandpowers import Binner, get_blbubc
 
-LMAX = 96
+LMAX = 64
 LMIN = 8
-NVAR = 6
+NVAR = 4
 
 
 def _parfile():
@@ -50,7 +50,7 @@ def _parfile():
     pf.qcls_ss = QeClLib(qlms_ss, qlms_ss, np.array([], dtype=int), lmax_qlm=LMAX)
     pf.qresp_dd = RespLib(LMAX, cls_len, cls_len, fal, LMAX)
     pf.nhl_dd = NhlLib(ivfs, cls_len, LMAX)
-    pf.n1_dd = N1Lib(cls_len['tt'], cls_len['te'], cls_len['ee'], lmaxphi=200, dL=20)
+    pf.n1_dd = N1Lib(cls_len['tt'], cls_len['te'], cls_len['ee'], lmaxphi=128, dL=24)
     pf.cls_ivfs = {'tt': ftl, 'ee': fel, 'bb': fbl, 'te': cls_len['te'] * ftl * fel}
     pf.cls_len = cls_len
     return pf
@@ -60,12 +60,12 @@ PF = _parfile()
 
 
 def test_blbubc_custom():
-    bl, bu, bc = get_blbubc('8_30_60_96')
-    assert np.all(bl == [8, 30, 60]) and np.all(bu == [29, 59, 96])
+    bl, bu, bc = get_blbubc('8_25_45_64')
+    assert np.all(bl == [8, 25, 45]) and np.all(bu == [24, 44, 64])
 
 
 def test_rdn0_mcn0_vs_analytic():
-    binner = Binner('ptt', 'ptt', PF, '8_30_60_96', lmaxphi=LMAX)
+    binner = Binner('ptt', 'ptt', PF, '8_25_45_64', lmaxphi=LMAX)
     mcn0 = binner.get_mcn0()
     rdn0 = binner.get_rdn0()
     NG = get_nhl('ptt', 'ptt', PF.cls_len, PF.cls_ivfs, LMAX, LMAX, lmax_out=LMAX)[0]
@@ -76,7 +76,7 @@ def test_rdn0_mcn0_vs_analytic():
 
 def test_debiased_data_consistent_with_zero():
     # Gaussian skies carry no lensing: dat - RDN0 band-powers should be consistent with 0
-    binner = Binner('ptt', 'ptt', PF, '8_30_60_96', lmaxphi=LMAX)
+    binner = Binner('ptt', 'ptt', PF, '8_25_45_64', lmaxphi=LMAX)
     dat = binner.get_dat_bandpowers()
     rdn0 = binner.get_rdn0()
     fid = binner.get_fid_bandpowers()
@@ -86,7 +86,7 @@ def test_debiased_data_consistent_with_zero():
 
 
 def test_semianalytic_nhl_of_data():
-    binner = Binner('ptt', 'ptt', PF, '8_30_60_96', lmaxphi=LMAX)
+    binner = Binner('ptt', 'ptt', PF, '8_25_45_64', lmaxphi=LMAX)
     nhl_dat = binner.get_dat_nhl()
     mcn0 = binner.get_mcn0()
     assert np.all(np.abs(nhl_dat / mcn0 - 1.) < 0.5), nhl_dat / mcn0

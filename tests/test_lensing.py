@@ -75,7 +75,7 @@ def test_qe_response_to_lensing_matches_qresp():
     A = 1e-4  # linear regime; antithetic combination removes O(phi^0) noise exactly
     plm = np.zeros(ualm.getsize(LMAX), dtype=complex)
     plm[ualm.getidx(LMAX, L0, M0)] = A * (1 + 0.3j)
-    nsims = 3
+    nsims = 2
     tunl = np.stack([_random_alm(unl['tt'], LMAX, 7 * i) for i in range(nsims)])
     Bsum = 0.
     for sgn in (+1., -1.):

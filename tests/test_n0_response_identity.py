@@ -20,8 +20,8 @@ def gauss_beam(fwhm_rad, lmax):
     return np.exp(-0.5 * ls * (ls + 1) * sigma2)
 
 
-LMAX_IVF = 300
-LMIN_IVF = 100
+LMAX_IVF = 256
+LMIN_IVF = 80
 
 
 def _setup():

@@ -16,9 +16,9 @@ from plancklens_tpu.models.sims import CMBUnlLib, MapsNlevLib
 from plancklens_tpu.models.filt import IVFSepTP
 from plancklens_tpu.models.qest import QELib
 
-LMAX = 128
+LMAX = 96
 LMIN = 8
-NSIMS = 8
+NSIMS = 6
 NLEV_T = 35.
 NLEV_P = 35. * np.sqrt(2.)
 
