@@ -16,7 +16,3 @@ import jax
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', True)
 
-# persistent compilation cache: the suite is compile-dominated on a single CPU core, and
-# recompiling identical programs across runs dominates wall time
-jax.config.update('jax_compilation_cache_dir', '/tmp/plk_jax_cache')
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
