@@ -200,3 +200,106 @@ class IVFFml:
 
     def __getattr__(self, name):
         return getattr(self.ivfs, name)
+
+
+class IVFJTP:
+    """Joint temperature-polarization isotropic filtering, harmonic inputs
+    (reference: plancklens/filt/filt_simple.py:187-343): bar X = F X_obs with the 3x3
+    per-multipole matrix F = (C + N/b^2)^{-1} (including TE mixing), and joint Wiener legs
+    X^WF = C_w F X_obs mixing T/E/B.
+
+    Args:
+        sim_lib: harmonic-space sim library
+        transf: beam b_l (array or dict 't','e','b')
+        cl_weights: spectra for the Wiener legs ('tt','te','ee','bb')
+        fal: dict of 3x3 filter entries ('tt','te','ee','bb', optionally 'tb','eb')
+    """
+
+    def __init__(self, sim_lib, transf, cl_weights, fal):
+        transfd = transf if isinstance(transf, dict) else {'t': transf, 'e': transf, 'b': transf}
+        self.sim_lib = sim_lib
+        self.transf = transfd
+        self.cl = cl_weights
+        self.fal = {k: np.asarray(v) for k, v in fal.items()}
+        self.lmax_fl = max(len(v) for v in self.fal.values()) - 1
+
+    def hashdict(self):
+        return {'sim_lib': self.sim_lib.hashdict(), 'transf': clhash(self.transf['t']),
+                **{'fal' + k: clhash(v) for k, v in self.fal.items()}}
+
+    def get_fal(self):
+        return {k: np.copy(v) for k, v in self.fal.items()}
+
+    def get_ftl(self):
+        return np.copy(self.fal['tt'])
+
+    def get_fel(self):
+        return np.copy(self.fal['ee'])
+
+    def get_fbl(self):
+        return np.copy(self.fal['bb'])
+
+    def get_tal(self, a):
+        assert a.lower() in ['t', 'e', 'b']
+        return cli(self.transf[a.lower()])
+
+    def _fmat(self, lmax):
+        """(lmax+1, 3, 3) filtering matrix, zero-padded."""
+        from ..utils.cls import extcl
+        F = np.zeros((lmax + 1, 3, 3))
+        keys = [('tt', 0, 0), ('te', 0, 1), ('tb', 0, 2), ('ee', 1, 1), ('eb', 1, 2),
+                ('bb', 2, 2)]
+        for k, i, j in keys:
+            if k in self.fal:
+                F[:, i, j] = extcl(lmax, self.fal[k])
+                F[:, j, i] = F[:, i, j]
+        return F
+
+    def _bar_teb(self, idx):
+        t = self.sim_lib.get_sim_tlm(idx)
+        e = self.sim_lib.get_sim_elm(idx)
+        b = self.sim_lib.get_sim_blm(idx)
+        lmax = ualm.getlmax(np.asarray(t).shape[-1])
+        # beam-deconvolve then apply the 3x3 matrix
+        x = jnp.stack([ualm.almxfl(jnp.asarray(t), lmax, jnp.asarray(cli(self.transf['t'][:lmax + 1]))),
+                       ualm.almxfl(jnp.asarray(e), lmax, jnp.asarray(cli(self.transf['e'][:lmax + 1]))),
+                       ualm.almxfl(jnp.asarray(b), lmax, jnp.asarray(cli(self.transf['b'][:lmax + 1])))])
+        F = self._fmat(lmax)
+        ls, _ = ualm._lm_indices(lmax)
+        Fl = jnp.asarray(F)[ls]  # (nalm, 3, 3)
+        return jnp.einsum('aij,ja->ia', Fl, x)
+
+    def get_sim_tlm(self, idx):
+        return self._bar_teb(idx)[0]
+
+    def get_sim_elm(self, idx):
+        return self._bar_teb(idx)[1]
+
+    def get_sim_blm(self, idx):
+        return self._bar_teb(idx)[2]
+
+    def get_sim_teblm_batch(self, idxs):
+        outs = [self._bar_teb(int(i)) for i in np.atleast_1d(idxs)]
+        t = jnp.stack([o[0] for o in outs])
+        e = jnp.stack([o[1] for o in outs])
+        b = jnp.stack([o[2] for o in outs])
+        return t, e, b
+
+    def _wiener_teb(self, idx):
+        """Joint Wiener legs C_w . bar X (reference: filt_simple.py:294-343)."""
+        bar = self._bar_teb(idx)
+        lmax = ualm.getlmax(np.asarray(bar[0]).shape[-1])
+        from ..utils.cls import cldict2arr
+        C = cldict2arr(self.cl)[:, :, :lmax + 1]  # (3, 3, lmax+1)
+        ls, _ = ualm._lm_indices(lmax)
+        Cl = jnp.asarray(np.moveaxis(C, -1, 0))[ls]  # (nalm, 3, 3)
+        return jnp.einsum('aij,ja->ia', Cl, bar)
+
+    def get_sim_tmliklm(self, idx):
+        return self._wiener_teb(idx)[0]
+
+    def get_sim_emliklm(self, idx):
+        return self._wiener_teb(idx)[1]
+
+    def get_sim_bmliklm(self, idx):
+        return self._wiener_teb(idx)[2]
