@@ -158,3 +158,81 @@ class N1Lib:
                     cleefid=cleefid, n1_flat=n1_flat)
             return ret
         assert 0, (kA, kB)
+
+
+def _jtp_methods():
+    """get_n1_jtp attached below to keep the class body compact."""
+
+
+def get_n1_jtp(self, kA, k_ind, cl_kind, fAlmat, Lmax, kB=None, fBlmat=None,
+               clttfid=None, cltefid=None, cleefid=None, n1_flat=None):
+    """N1 for jointly-filtered (3x3 matrix) legs: sums the kernel over all primed-field
+    combinations weighted by the filtering-matrix elements
+    (reference: plancklens/n1/n1.py:318-437)."""
+    if kB is None:
+        kB = kA
+    if kA[0] == 's' or kB[0] == 's':
+        assert kA[0] == kB[0]
+    if fBlmat is None:
+        fBlmat = fAlmat
+    clttfid = self.cltt if clttfid is None else np.asarray(clttfid)
+    cltefid = self.clte if cltefid is None else np.asarray(cltefid)
+    cleefid = self.clee if cleefid is None else np.asarray(cleefid)
+    if n1_flat is None:
+        n1_flat = lambda ell: np.ones(len(ell), dtype=float)
+
+    if kA in estimator_keys and kB in estimator_keys:
+        if kA < kB:
+            return self.get_n1_jtp(kB, k_ind, cl_kind, fBlmat, Lmax, kB=kA, fBlmat=fAlmat,
+                                   clttfid=clttfid, cltefid=cltefid, cleefid=cleefid,
+                                   n1_flat=n1_flat)
+        X, Y = kA[1:]
+        I, J = kB[1:]
+        ret = 0.
+        for Xp in 'teb':
+            FXXp = fAlmat.get(X + Xp, fAlmat.get(Xp + X, np.array([0.])))
+            if not np.any(FXXp):
+                continue
+            for Yp in 'teb':
+                FYYp = fAlmat.get(Y + Yp, fAlmat.get(Yp + Y, np.array([0.])))
+                if not np.any(FYYp):
+                    continue
+                for Ip in 'teb':
+                    FIIp = fBlmat.get(I + Ip, fBlmat.get(Ip + I, np.array([0.])))
+                    if not np.any(FIIp):
+                        continue
+                    for Jp in 'teb':
+                        FJJp = fBlmat.get(J + Jp, fBlmat.get(Jp + J, np.array([0.])))
+                        if not np.any(FJJp):
+                            continue
+                        fn = '_'.join(['n1jtp', kA, kB, k_ind, X + Xp + Y + Yp + I + Ip
+                                       + J + Jp, clhash(cl_kind), clhash(FXXp),
+                                       clhash(FYYp), clhash(FIIp), clhash(FJJp),
+                                       clhash(clttfid), clhash(cleefid), str(Lmax)])
+                        if not self.cacher.is_cached(fn):
+                            Ls = self._ls_grid(Lmax)
+                            n1L = np.array([float(n1kern.n1L_jtp(
+                                float(L), kA, kB, Xp, Yp, Ip, Jp, k_ind, cl_kind,
+                                self.cltt, self.clte, self.clee, clttfid, cltefid,
+                                cleefid, FXXp, FYYp, FIIp, FJJp, 1, 1, self.dL,
+                                self.lps)) for L in Ls])
+                            out = np.zeros(Lmax + 1)
+                            out[1:] = spline(Ls, n1L * n1_flat(Ls), s=0., ext='raise',
+                                             k=3)(np.arange(1, Lmax + 1) * 1.)
+                            out[1:] *= cli(n1_flat(np.arange(1, Lmax + 1) * 1.))
+                            self.cacher.cache(fn, out)
+                        ret = ret + np.asarray(self.cacher.load(fn))
+        return ret
+    if kA in estimator_keys_derived or kB in estimator_keys_derived:
+        ret = 0.
+        for tk1, cl1 in _get_est_derived(kA, Lmax):
+            for tk2, cl2 in _get_est_derived(kB, Lmax):
+                tret = self.get_n1_jtp(tk1, k_ind, cl_kind, fAlmat, Lmax, kB=tk2,
+                                       fBlmat=fBlmat, clttfid=clttfid, cltefid=cltefid,
+                                       cleefid=cleefid, n1_flat=n1_flat)
+                ret = ret + tret * cl1[:Lmax + 1] * cl2[:Lmax + 1]
+        return ret
+    assert 0, (kA, kB)
+
+
+N1Lib.get_n1_jtp = get_n1_jtp

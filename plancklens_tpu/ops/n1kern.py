@@ -208,3 +208,25 @@ def _n1L_core(L, k13, k24, k14, k23, kA, kB, L1s, nphi, nphiH, lps, dlps, ns, ns
     tot, _ = jax.lax.scan(per_L1, jnp.zeros((), jnp.float64 if cltt.dtype == jnp.float64
                                             else jnp.float32), (L1s, nphi.astype(float)))
     return tot
+
+
+def n1L_jtp(L, kA, kB, Xp, Yp, Ip, Jp, kI, cl_kI, cltt, clte, clee,
+            clttfid, cltefid, cleefid, fXXp, fYYp, fIIp, fJJp, lminA, lminB, dL, lps):
+    """Joint-TP-filtering N1 at a single L (reference: n1f.f90:280-396): the QE legs couple
+    to primed fields (Xp, Yp, Ip, Jp) through explicit filtering-matrix elements."""
+    lmaxA = len(fXXp)
+    lmaxB = len(fIIp)
+    k13 = kI + Xp + Ip
+    k24 = kI + Yp + Jp
+    k14 = kI + Xp + Jp
+    k23 = kI + Yp + Ip
+    import jax.numpy as jnp
+    L1s, nphi, nphiH, lps, dlps, ns, nsmax = _grids(lminA, lmaxA, dL, lps)
+    args = (jnp.asarray(cl_kI), jnp.asarray(cltt), jnp.asarray(clte), jnp.asarray(clee),
+            jnp.asarray(clttfid), jnp.asarray(cltefid), jnp.asarray(cleefid),
+            jnp.asarray(np.asarray(fXXp)), jnp.asarray(np.asarray(fYYp)),
+            jnp.asarray(np.asarray(fIIp)), jnp.asarray(np.asarray(fJJp)))
+    return _n1L_core(float(L), k13, k24, k14, k23, kA, kB,
+                     jnp.asarray(L1s), jnp.asarray(nphi), nphiH,
+                     jnp.asarray(lps, dtype=float), jnp.asarray(dlps),
+                     jnp.asarray(ns), nsmax, lminA, lmaxA, lminB, lmaxB, dL, *args)
