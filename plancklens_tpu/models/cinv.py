@@ -466,3 +466,37 @@ class IVFCinv:
     def get_sim_bmliklm(self, idx):
         lmax = self.cinv_p.lmax
         return ualm.almxfl(self.get_sim_blm(idx), lmax, jnp.asarray(self.cl['bb'][:lmax + 1]))
+
+
+def p2k_fl(lmax):
+    """phi -> kappa scaling l(l+1)/2 (reference: plancklens/qcinv/opfilt_kk.py:29-45)."""
+    ls = np.arange(lmax + 1, dtype=float)
+    return 0.5 * ls * (ls + 1.)
+
+
+class CinvKK(CinvT):
+    """Wiener filter for reconstructed lensing-convergence maps: the spin-0 cinv machinery
+    with C_L^kk = [L(L+1)/2]^2 C_L^pp spectra (reference: plancklens/qcinv/opfilt_kk.py).
+
+    Args:
+        lmax, geom, transf, ninv: as CinvT
+        clpp: lensing potential spectrum (converted to kappa internally)
+    """
+
+    def __init__(self, lmax, geom, clpp, transf, ninv, **kwargs):
+        clkk = {'tt': p2k_fl(lmax) ** 2 * np.asarray(clpp)[:lmax + 1]}
+        super().__init__(lmax, geom, clkk, transf, ninv, **kwargs)
+
+
+def template_uptolmin(geom, lmin):
+    """All real-harmonic modes with l <= lmin as pixel-space template maps, for full
+    low-l marginalisation (reference: plancklens/qcinv/template_removal.py
+    template_uptolmin)."""
+    from ..ops.sht import SHT
+    from ..utils import alm as ualm
+    import jax.numpy as jnp
+    sht = SHT(geom, lmin)
+    nrlm = (lmin + 1) ** 2
+    rlm = np.eye(nrlm)
+    alms = ualm.rlm2alm(jnp.asarray(rlm), lmin)
+    return np.asarray(sht.alm2map(alms))
