@@ -500,3 +500,140 @@ def template_uptolmin(geom, lmin):
     rlm = np.eye(nrlm)
     alms = ualm.rlm2alm(jnp.asarray(rlm), lmin)
     return np.asarray(sht.alm2map(alms))
+
+
+class NinvFilterTP:
+    """Joint T/E/B pixel-space inverse-noise filtering (reference:
+    plancklens/qcinv/opfilt_tp.py:164-326): T and (Q, U) noise treated jointly with the
+    full 3x3 per-multipole signal matrix (including TE) in the prior."""
+
+    def __init__(self, geom, ninv_t, ninv_p, b_transf):
+        self.geom = geom
+        self.filt_t = NinvFilterT(geom, ninv_t, b_transf, marge_monopole=False,
+                                  marge_dipole=False)
+        self.filt_p = NinvFilterP(geom, ninv_p, b_transf)
+        self.b_transf = np.asarray(b_transf)
+        self.nlev_ftl = self.filt_t.nlev_ftl
+        self.nlev_fpl = self.filt_p.nlev_ftl
+
+    def hashdict(self):
+        return {'t': self.filt_t.hashdict(), 'p': self.filt_p.hashdict()}
+
+    def make_ops(self, lmax, cls, rescal_cl=None):
+        """(fwd_op, calc_prep, pre_op, scal) on stacked (batch, 3, nalm) T/E/B alms.
+
+        cls: dict with 'tt', 'ee', 'bb' and 'te' entering the 3x3 S matrix.
+        """
+        from ..utils.cls import cldict2arr
+        if rescal_cl is None:
+            ls = np.arange(lmax + 1, dtype=float)
+            rescal_cl = np.sqrt(ls * (ls + 1.) / (2. * np.pi))
+            rescal_cl[0] = 1.
+        # rescaled 3x3 signal matrix and its pseudo-inverse
+        S = cldict2arr({k: cls[k][:lmax + 1] for k in ['tt', 'ee', 'bb', 'te']
+                        if k in cls})[:, :, :lmax + 1]
+        S = np.moveaxis(S, -1, 0) * (rescal_cl ** 2)[:, None, None]
+        Sinv = np.linalg.pinv(S)
+        bdl = self.b_transf[:lmax + 1] * cli(rescal_cl)
+        sht = SHT(self.geom, lmax)
+        bdlj = jnp.asarray(bdl)
+        ls_idx, _ = ualm._lm_indices(lmax)
+        Sinv_j = jnp.asarray(Sinv)[ls_idx]  # (nalm, 3, 3)
+
+        def apply_alm(x):
+            t = ualm.almxfl(x[:, 0], lmax, bdlj)
+            e = ualm.almxfl(x[:, 1], lmax, bdlj)
+            b = ualm.almxfl(x[:, 2], lmax, bdlj)
+            tm = self.filt_t.apply_map(sht.alm2map(t))
+            q, u = sht.alm2map_spin((e, b), 2)
+            q, u = self.filt_p.apply_map(q, u)
+            to = sht.map2alm(tm)
+            eo, bo = sht.map2alm_spin((q, u), 2)
+            return jnp.stack([ualm.almxfl(to, lmax, bdlj),
+                              ualm.almxfl(eo, lmax, bdlj),
+                              ualm.almxfl(bo, lmax, bdlj)], axis=1)
+
+        def fwd_op(x):
+            si = jnp.einsum('aij,bja->bia', Sinv_j, x)
+            return si + apply_alm(x)
+
+        def calc_prep(tmaps, qmaps, umaps):
+            tm = self.filt_t.apply_map(jnp.asarray(tmaps))
+            q, u = self.filt_p.apply_map(jnp.asarray(qmaps), jnp.asarray(umaps))
+            t = sht.map2alm(tm)
+            e, b = sht.map2alm_spin((q, u), 2)
+            return jnp.stack([ualm.almxfl(t, lmax, bdlj),
+                              ualm.almxfl(e, lmax, bdlj),
+                              ualm.almxfl(b, lmax, bdlj)], axis=1)
+
+        # 3x3 diagonal-in-l preconditioner: (Sinv + avg_ninv b^2 I)^-1
+        nt = np.sum(self.filt_t.ninv) / (4. * np.pi)
+        qq, _, uu = self.filt_p.ninv
+        npol = np.sum(0.5 * (qq + uu)) / (4. * np.pi)
+        M = Sinv.copy()
+        M[:, 0, 0] += nt * bdl ** 2
+        M[:, 1, 1] += npol * bdl ** 2
+        M[:, 2, 2] += npol * bdl ** 2
+        Minv_j = jnp.asarray(np.linalg.pinv(M))[ls_idx]
+
+        def pre_op(r):
+            return jnp.einsum('aij,bja->bia', Minv_j, r)
+
+        return fwd_op, calc_prep, pre_op, (rescal_cl, S)
+
+
+class CinvTP:
+    """Joint T/E/B cinv filter (reference: plancklens/filt/filt_cinv.py:341-512)."""
+
+    def __init__(self, lmax, geom, cls, transf, ninv_t, ninv_p, eps_min=1e-5,
+                 iter_max=400):
+        self.lmax = lmax
+        self.geom = geom
+        self.cls = cls
+        self.transf = np.asarray(transf)[:lmax + 1]
+        self.filt = NinvFilterTP(geom, ninv_t, ninv_p, self.transf)
+        self.eps_min = eps_min
+        self.iter_max = iter_max
+        self.fwd_op, self.calc_prep, self.pre_op, (self.rescal_cl, self._S) = \
+            self.filt.make_ops(lmax, cls)
+        self._ms = _lm_ms(lmax)
+
+    def hashdict(self):
+        return {'lmax': self.lmax, 'transf': clhash(self.transf),
+                'ninv': self.filt.hashdict(),
+                **{k: clhash(self.cls[k][:self.lmax + 1]) for k in ['tt', 'ee', 'bb', 'te']
+                   if k in self.cls}}
+
+    def solve_wf(self, tmaps, qmaps, umaps):
+        tmaps = jnp.asarray(tmaps)
+        if tmaps.ndim == 2:
+            tmaps = tmaps[None]
+            qmaps = jnp.asarray(qmaps)[None]
+            umaps = jnp.asarray(umaps)[None]
+        b = self.calc_prep(tmaps, qmaps, umaps)
+        bsz = b.shape[0]
+        bf = b.reshape(bsz, -1)
+        ms3 = jnp.concatenate([self._ms] * 3)
+
+        def fwd_flat(xf):
+            return self.fwd_op(xf.reshape(b.shape)).reshape(bsz, -1)
+
+        def pre_flat(rf):
+            return self.pre_op(rf.reshape(b.shape)).reshape(bsz, -1)
+
+        xf, it, rel = cg.pcg(fwd_flat, pre_flat, bf, jnp.zeros_like(bf),
+                             self.iter_max, self.eps_min, ms3)
+        return xf.reshape(b.shape), it, rel
+
+    def apply_ivf(self, tmaps, qmaps, umaps, ret_it=False):
+        """(bar t, bar e, bar b): jointly inverse-variance filtered alms (the rescaled
+        Wiener solution mapped through the 3x3 S^{-1})."""
+        x, it, rel = self.solve_wf(tmaps, qmaps, umaps)
+        # bar X = S^{-1}_true x_wf_true; x is the rescaled WF: X_wf_true = x / rescal,
+        # S_true = S_rescal / rescal^2  => bar X = rescal * (S_rescal^{-1} x)
+        ls_idx, _ = ualm._lm_indices(self.lmax)
+        Sinv_j = jnp.asarray(np.linalg.pinv(self._S))[ls_idx]
+        bar = jnp.einsum('aij,bja->bia', Sinv_j, x)
+        fl = jnp.asarray(self.rescal_cl)
+        out = tuple(ualm.almxfl(bar[:, i], self.lmax, fl) for i in range(3))
+        return (out, it, rel) if ret_it else out

@@ -134,3 +134,58 @@ def test_cinv_pol_homogeneous_matches_isotropic():
     err_b = np.abs(np.asarray(bbar)[0][sel] - expect_b[sel]).max() / np.abs(expect_b[sel]).max()
     assert err_e < 1e-3, err_e
     assert err_b < 1e-3, err_b
+
+
+def test_cinv_tp_homogeneous_matches_jtp_isotropic():
+    """Joint TEB CG filtering in the homogeneous limit == the 3x3 isotropic matrix filter."""
+    from plancklens_tpu.models.cinv import CinvTP
+    from plancklens_tpu.utils.cls import cl_inverse
+    lmax = 48
+    cls = camb_clfile(os.path.join(plancklens_tpu.DATAPATH, 'cls',
+                                   'FFP10_wdipole_lensedCls.dat'), lmax=lmax)
+    geom = gl_geometry(lmax)
+    sht = SHT(geom, lmax)
+    nlev_t, nlev_p = 30., 40.
+    st = (nlev_t / 60. / 180. * np.pi)
+    sp = (nlev_p / 60. / 180. * np.pi)
+    omega = np.outer(geom.weight, np.full(geom.nphi, 2 * np.pi / geom.nphi))
+    rng = np.random.RandomState(11)
+    ls, ms = ualm._lm_indices(lmax)
+
+    def ralm(cl, seed):
+        r = np.random.RandomState(seed)
+        a = (r.standard_normal(len(ls)) + 1j * r.standard_normal(len(ls))) / np.sqrt(2.)
+        a[ms == 0] = a[ms == 0].real * np.sqrt(2.)
+        return a * np.sqrt(cl[ls])
+
+    # correlated T/E via the joint colouring would be cleaner; uncorrelated fields are
+    # fine for this operator identity test
+    tlm, elm, blm = ralm(cls['tt'], 1), ralm(cls['ee'], 2), ralm(cls['bb'], 3)
+    elm[ls < 2] = 0.
+    blm[ls < 2] = 0.
+    T = np.asarray(sht.alm2map(tlm)) + rng.standard_normal(omega.shape) * st / np.sqrt(omega)
+    q, u = sht.alm2map_spin((elm, blm), 2)
+    Q = np.asarray(q) + rng.standard_normal(omega.shape) * sp / np.sqrt(omega)
+    U = np.asarray(u) + rng.standard_normal(omega.shape) * sp / np.sqrt(omega)
+
+    cinv = CinvTP(lmax, geom, cls, np.ones(lmax + 1), omega * 0 + omega / omega * (1. / (st ** 2 / omega)),
+                  1. / (sp ** 2 / omega), eps_min=1e-8, iter_max=500)
+    (bt, be, bb_), it, rel = cinv.apply_ivf(T, Q, U, ret_it=True)
+    assert np.all(np.asarray(rel) < 1e-7), rel
+
+    # isotropic expectation: bar X = F (map2alm X) with F = (S + N)^{-1} (3x3 with TE)
+    cls_dat = {'tt': cls['tt'][:lmax + 1] + st ** 2, 'ee': cls['ee'][:lmax + 1] + sp ** 2,
+               'bb': cls['bb'][:lmax + 1] + sp ** 2, 'te': np.copy(cls['te'][:lmax + 1])}
+    fal = cl_inverse(cls_dat)
+    t0 = np.asarray(sht.map2alm(T))
+    e0, b0 = sht.map2alm_spin((Q, U), 2)
+    e0, b0 = np.asarray(e0), np.asarray(b0)
+    F = np.zeros((lmax + 1, 3, 3))
+    F[:, 0, 0], F[:, 1, 1], F[:, 2, 2] = fal['tt'], fal['ee'], fal['bb']
+    F[:, 0, 1] = F[:, 1, 0] = fal['te']
+    x = np.stack([t0, e0, b0])
+    expect = np.einsum('aij,ja->ia', F[ls], x)
+    sel = ls >= 2
+    for got, exp in zip([np.asarray(bt)[0], np.asarray(be)[0], np.asarray(bb_)[0]], expect):
+        err = np.abs(got[sel] - exp[sel]).max() / np.abs(exp[sel]).max()
+        assert err < 1e-3, err
