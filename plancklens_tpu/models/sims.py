@@ -232,3 +232,99 @@ class CMBLenLib:
 
     def get_sim_blm(self, idx):
         return self.get_sim_eblm(idx)[1]
+
+
+class ExternalAlmLib:
+    """Simulation library backed by on-disk alm arrays (.npy), the role of the reference's
+    NERSC FFP10 loaders (reference: plancklens/sims/planck2018_sims.py): idx >= 0 loads
+    '<prefix>_<field>lm_%04d.npy', idx == -1 the data files '<prefix>_<field>lm_dat.npy'.
+
+    FITS-based healpy alm files can be converted once with healpy on any machine; this
+    environment has no FITS IO, so the interchange format is npy.
+    """
+
+    def __init__(self, tdir, prefix='sim', fields=('t', 'e', 'b')):
+        self.tdir = tdir
+        self.prefix = prefix
+        self.fields = fields
+
+    def hashdict(self):
+        return {'tdir': self.tdir, 'prefix': self.prefix, 'fields': ''.join(self.fields)}
+
+    def _fn(self, f, idx):
+        import os
+        tag = 'dat' if idx == -1 else '%04d' % idx
+        return os.path.join(self.tdir, '%s_%slm_%s.npy' % (self.prefix, f, tag))
+
+    def _get(self, f, idx):
+        return jnp.asarray(np.load(self._fn(f, idx)))
+
+    def get_sim_tlm(self, idx):
+        return self._get('t', idx)
+
+    def get_sim_elm(self, idx):
+        return self._get('e', idx)
+
+    def get_sim_blm(self, idx):
+        return self._get('b', idx)
+
+    def get_sim_plm(self, idx):
+        return self._get('p', idx)
+
+    def get_sim_teblm_batch(self, idxs):
+        t = jnp.stack([self._get('t', int(i)) for i in np.atleast_1d(idxs)])
+        e = jnp.stack([self._get('e', int(i)) for i in np.atleast_1d(idxs)])
+        b = jnp.stack([self._get('b', int(i)) for i in np.atleast_1d(idxs)])
+        return t, e, b
+
+
+class SimLibShuffle:
+    """Index-remapped view of a sim library (reference: plancklens/sims/utils.py:3-17)."""
+
+    def __init__(self, sim_lib, idx_map):
+        self.sim_lib = sim_lib
+        self.idx_map = idx_map if callable(idx_map) else (lambda i, d=dict(idx_map): d.get(i, i))
+
+    def hashdict(self):
+        return {'sim_lib': self.sim_lib.hashdict(), 'shuffled': True}
+
+    def __getattr__(self, name):
+        if name.startswith('get_sim_'):
+            inner = getattr(self.sim_lib, name)
+            return lambda idx, *a, **kw: inner(self.idx_map(idx), *a, **kw)
+        return getattr(self.sim_lib, name)
+
+
+class SimLibAdd:
+    """Weighted sum of two sim libraries, applied to sim and/or data indices
+    (reference: plancklens/sims/utils.py:20-91, used to add extra power to noise sims)."""
+
+    def __init__(self, lib_a, lib_b, w_a=1., w_b=1., sims_only=False, dat_only=False):
+        self.a = lib_a
+        self.b = lib_b
+        self.wa, self.wb = w_a, w_b
+        self.sims_only = sims_only
+        self.dat_only = dat_only
+
+    def hashdict(self):
+        return {'a': self.a.hashdict(), 'b': self.b.hashdict(), 'wa': self.wa,
+                'wb': self.wb, 'sims_only': self.sims_only, 'dat_only': self.dat_only}
+
+    def _active(self, idx):
+        if self.sims_only:
+            return idx >= 0
+        if self.dat_only:
+            return idx == -1
+        return True
+
+    def __getattr__(self, name):
+        if name.startswith('get_sim_'):
+            fa = getattr(self.a, name)
+
+            def get(idx, *args, **kw):
+                ra = fa(idx, *args, **kw)
+                if self._active(idx):
+                    return self.wa * ra + self.wb * getattr(self.b, name)(idx, *args, **kw)
+                return ra
+            return get
+        return getattr(self.a, name)
