@@ -637,3 +637,62 @@ class CinvTP:
         fl = jnp.asarray(self.rescal_cl)
         out = tuple(ualm.almxfl(bar[:, i], self.lmax, fl) for i in range(3))
         return (out, it, rel) if ret_it else out
+
+
+def degrade_ninv(ninv, geom_fine, geom_coarse, lmax_interp=None):
+    """Restrict an inverse pixel-variance map to a coarser ring geometry: interpolate the
+    per-steradian inverse variance spectrally and convert back to per-pixel units
+    (role of hp.ud_grade(ninv, power=-2) in the reference, opfilt_tt.py:172-181)."""
+    from ..ops.sht import SHT
+    omega_f = np.outer(geom_fine.weight, np.full(geom_fine.nphi,
+                                                 2. * np.pi / geom_fine.nphi))
+    omega_c = np.outer(geom_coarse.weight, np.full(geom_coarse.nphi,
+                                                   2. * np.pi / geom_coarse.nphi))
+    lmax = geom_coarse.nrings - 1 if lmax_interp is None else lmax_interp
+    sht_f = SHT(geom_fine, lmax)
+    sht_c = SHT(geom_coarse, lmax)
+    alm = sht_f.map2alm(np.asarray(ninv) / omega_f)
+    out = np.asarray(sht_c.alm2map(alm))
+    return np.maximum(out, 0.) * omega_c
+
+
+def make_multigrid_pre_op(geom, ninv, b_transf, cltt, lmax, stage_lmaxs, stage_iters,
+                          lmax_dense=32, marge_monopole=False, marge_dipole=False):
+    """Multigrid-style preconditioner chain (reference: plancklens/qcinv/multigrid.py):
+    each stage solves the same system restricted to a coarser band limit and geometry with
+    a few fixed PCG iterations, preconditioned by the next stage; the innermost stage uses
+    the dense low-l block. Returns a pre_op for the full-resolution system.
+
+    Status: experimental. In the configurations benchmarked so far the default
+    split(dense low-l, diagonal) preconditioner of CinvT converges faster; this chain is
+    provided for structural parity with the reference and for large-lmax regimes where a
+    dense block cannot reach the transition scale.
+    """
+    from ..ops.sht import gl_geometry
+
+    def build(level):
+        lm = stage_lmaxs[level]
+        geom_l = gl_geometry(lm)
+        ninv_l = degrade_ninv(ninv, geom, geom_l)
+        filt_l = NinvFilterT(geom_l, ninv_l, b_transf[:lm + 1],
+                             marge_monopole=marge_monopole, marge_dipole=marge_dipole)
+        fwd_l, _, diag_l, _ = filt_l.make_ops(lm, cltt)
+        if level + 1 < len(stage_lmaxs):
+            low = build(level + 1)
+            inner_pre = split_pre_op(low, diag_l, stage_lmaxs[level + 1], lm)
+        else:
+            dense = dense_pre_op(fwd_l, min(lmax_dense, lm), lm)
+            inner_pre = split_pre_op(dense, diag_l, min(lmax_dense, lm), lm)
+        ms_l = _lm_ms(lm)
+        n_it = stage_iters[level]
+
+        def pre_op(r):
+            # r at the PARENT's band limit; restrict, solve approximately, prolongate
+            lmax_parent = ualm.getlmax(r.shape[-1])
+            r_c = ualm.alm_copy(r, lmax_parent, lm)
+            x_c = cg.pcg_fixed(fwd_l, inner_pre, r_c, jnp.zeros_like(r_c), n_it, ms_l)
+            return ualm.alm_copy(x_c, lm, lmax_parent)
+
+        return pre_op
+
+    return build(0)
