@@ -169,13 +169,11 @@ class QELib:
         fn = 'qlm_%s_%04d' % (k, idx)
         fnx = 'qlm_%s_%04d' % ('x' + k[1:], idx)
         if '_bh_' in k:
-            kQE, ksource = k.split('_bh_')
-            assert len(ksource) == 1
-            from ..utils.cls import cli as _cli
-            # w_L = R^{hk}/R^{hh} from the response library is applied by the caller;
-            # here the plain difference with the source estimator normalised response
-            raise NotImplementedError('bias-hardened qlm evaluation requires a response '
-                                      'library; use QELibResp')
+            # bias-hardened maps need the response-library weights w_L = R^{hk}/R^{hh}
+            # (reference: plancklens/qest.py:164-183); compose get_sim_qlm calls with a
+            # RespLib at the pipeline level
+            raise NotImplementedError('bias-hardened qlm maps: combine the fundamental '
+                                      'keys with RespLib weights at the pipeline level')
         if not self.cacher.is_cached(fn):
             glm, clm = self._eval_key(k, self._get_alm_fn(self.ivfs1, idx),
                                       self._get_alm_fn(self.ivfs2, idx)

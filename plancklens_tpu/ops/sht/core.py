@@ -81,10 +81,16 @@ def recursion_tables(lmax, mmax, n, theta, grid_token=None, dtype=np.float64):
     xi = np.array([_xi_sign(int(m), n) for m in range(mmax + 1)])[None, :]
     seed_k = np.minimum(np.floor(log2v / S), 0.).astype(np.int32)
     seed_v = (xi * np.exp2(log2v - S * seed_k.astype(np.float64))).astype(dtype)
-    out = dict(alpha=jnp.asarray(alpha.astype(dtype)), beta=jnp.asarray(beta.astype(dtype)),
-               gamma=jnp.asarray(gamma.astype(dtype)), l0=jnp.asarray(l0.astype(np.int32)),
-               seed_v=jnp.asarray(seed_v), seed_k=jnp.asarray(seed_k), S=S,
-               x=jnp.asarray(np.cos(np.asarray(theta, dtype=np.float64)).astype(dtype)))
+    # two flavours of every table: device-resident arrays for eager calls (passed as
+    # arguments to the inner jit, avoiding re-upload per call) and host numpy for calls
+    # made inside an enclosing trace (embedded as constants: the axon TPU runtime
+    # rejects programs whose closure constants are committed device arrays)
+    np_tabs = dict(alpha=alpha.astype(dtype), beta=beta.astype(dtype),
+                   gamma=gamma.astype(dtype), l0=l0.astype(np.int32),
+                   seed_v=seed_v, seed_k=seed_k,
+                   x=np.cos(np.asarray(theta, dtype=np.float64)).astype(dtype))
+    out = dict(S=S, np={k: v for k, v in np_tabs.items()},
+               dev={k: jnp.asarray(v) for k, v in np_tabs.items()})
     if key is not None:
         if len(_TABLE_CACHE) >= _TABLE_CACHE_MAX:
             _TABLE_CACHE.pop(next(iter(_TABLE_CACHE)))
@@ -141,25 +147,36 @@ def _legendre_scan(mode, S, C_or_Q, alpha, beta, gamma, l0, seed_v, seed_k, x):
     def reshape_chunks(arr):
         return arr.reshape((nchunks, CHUNK) + arr.shape[1:])
 
+    # complex arrays are kept out of the scan carry/xs (split into real pairs): the
+    # axon TPU runtime rejects scans carrying complex accumulators when the scan is
+    # inlined into a larger jitted program
+    is_cplx = jnp.iscomplexobj(C_or_Q)
     if mode == 'synth':
-        acc0 = jnp.zeros((batch, nrings, mmaxp1), dtype=C_or_Q.dtype)
         C_l = pad_l(jnp.moveaxis(C_or_Q, 1, 0))  # (lmax+1+pad, batch, mmaxp1)
+        C_parts = (jnp.real(C_l), jnp.imag(C_l)) if is_cplx else (C_l,)
+        acc0 = tuple(jnp.zeros((batch, nrings, mmaxp1), dtype=adtype)
+                     for _ in C_parts)
 
         def step_s(carry, xs):
-            lc, alc, blc, glc, Clc = xs
-            d_m1, d, k, acc = carry
-            local = jnp.zeros(acc.shape, dtype=acc.dtype)
+            lc, alc, blc, glc = xs[:4]
+            Cparts = xs[4:]
+            d_m1, d, k = carry[:3]
+            accs = carry[3:]
+            locals_ = tuple(jnp.zeros(a.shape, dtype=a.dtype) for a in accs)
             for j in range(CHUNK):
                 deff = (d * jnp.exp2((S * k).astype(rdtype))).astype(adtype)
-                local = local + Clc[j][:, None, :] * deff[None, :, :]
+                locals_ = tuple(loc + Cp[j][:, None, :] * deff[None, :, :]
+                                for loc, Cp in zip(locals_, Cparts))
                 d_m1, d, k = recurse(lc[j], d_m1, d, k, alc[j], blc[j], glc[j])
-            return (d_m1, d, k, acc + local), None
+            return (d_m1, d, k) + tuple(a + l_ for a, l_ in zip(accs, locals_)), None
 
-        xs = tuple(reshape_chunks(a) for a in (ls, alpha_p, beta_p, gamma_p, C_l))
-        (_, _, _, acc), _ = jax.lax.scan(step_s, (d_m1, d, k, acc0), xs)
-        return acc
+        xs = tuple(reshape_chunks(a) for a in (ls, alpha_p, beta_p, gamma_p) + C_parts)
+        out, _ = jax.lax.scan(step_s, (d_m1, d, k) + acc0, xs)
+        accs = out[3:]
+        return accs[0] + 1j * accs[1] if is_cplx else accs[0]
     else:
         Q = C_or_Q  # (batch, nrings, mmaxp1)
+        Q_parts = (jnp.real(Q), jnp.imag(Q)) if is_cplx else (Q,)
 
         def step_a(carry, xs):
             lc, alc, blc, glc = xs
@@ -167,14 +184,24 @@ def _legendre_scan(mode, S, C_or_Q, alpha, beta, gamma, l0, seed_v, seed_k, x):
             emits = []
             for j in range(CHUNK):
                 deff = (d * jnp.exp2((S * k).astype(rdtype))).astype(adtype)
-                emits.append(jnp.einsum('brm,rm->bm', Q, deff))
+                emits.append(tuple(jnp.einsum('brm,rm->bm', Qp, deff)
+                                   for Qp in Q_parts))
                 d_m1, d, k = recurse(lc[j], d_m1, d, k, alc[j], blc[j], glc[j])
-            return (d_m1, d, k), jnp.stack(emits)
+            return (d_m1, d, k), tuple(jnp.stack([e[i] for e in emits])
+                                       for i in range(len(Q_parts)))
 
         xs = tuple(reshape_chunks(a) for a in (ls, alpha_p, beta_p, gamma_p))
         _, emits = jax.lax.scan(step_a, (d_m1, d, k), xs)
-        emits = emits.reshape((nchunks * CHUNK,) + emits.shape[2:])[:lmaxp1]
-        return jnp.moveaxis(emits, 0, 1)  # (batch, lmax+1, mmaxp1)
+        outs = tuple(e.reshape((nchunks * CHUNK,) + e.shape[2:])[:lmaxp1] for e in emits)
+        out = outs[0] + 1j * outs[1] if is_cplx else outs[0]
+        return jnp.moveaxis(out, 0, 1)  # (batch, lmax+1, mmaxp1)
+
+
+def _tabs_for(t, data):
+    """Numpy tables when tracing (safe closure constants), device tables eagerly."""
+    import jax.core
+    flavour = 'np' if isinstance(data, jax.core.Tracer) else 'dev'
+    return t[flavour]
 
 
 def legendre_synth(C, n, theta, grid_token=None, dtype=np.float64):
@@ -182,13 +209,15 @@ def legendre_synth(C, n, theta, grid_token=None, dtype=np.float64):
     lmax = C.shape[-2] - 1
     mmax = C.shape[-1] - 1
     t = recursion_tables(lmax, mmax, n, theta, grid_token=grid_token, dtype=dtype)
-    return _legendre_scan('synth', t['S'], jnp.asarray(C), t['alpha'], t['beta'],
-                          t['gamma'], t['l0'], t['seed_v'], t['seed_k'], t['x'])
+    tb = _tabs_for(t, C)
+    return _legendre_scan('synth', t['S'], jnp.asarray(C), tb['alpha'], tb['beta'],
+                          tb['gamma'], tb['l0'], tb['seed_v'], tb['seed_k'], tb['x'])
 
 
 def legendre_anal(Q, n, theta, lmax, grid_token=None, dtype=np.float64):
     """C_{lm} = sum_j Q_{jm} d^l_{m,n}(theta_j); Q (batch, nrings, mmax+1)."""
     mmax = Q.shape[-1] - 1
     t = recursion_tables(lmax, mmax, n, theta, grid_token=grid_token, dtype=dtype)
-    return _legendre_scan('anal', t['S'], jnp.asarray(Q), t['alpha'], t['beta'],
-                          t['gamma'], t['l0'], t['seed_v'], t['seed_k'], t['x'])
+    tb = _tabs_for(t, Q)
+    return _legendre_scan('anal', t['S'], jnp.asarray(Q), tb['alpha'], tb['beta'],
+                          tb['gamma'], tb['l0'], tb['seed_v'], tb['seed_k'], tb['x'])

@@ -131,13 +131,14 @@ def legendre_synth_pallas(C, tables, x, interpret=False):
     """Drop-in synthesis using the Pallas kernel; C (batch, lmax+1, mmax+1) complex64."""
     C = jnp.asarray(C)
     Cl = jnp.moveaxis(C, 1, 0)  # (lmax+1, B, M)
+    tb = tables.get('dev', tables)
     ore, oim = _synth_pallas(tables['S'],
-                             jnp.asarray(tables['alpha'], jnp.float32),
-                             jnp.asarray(tables['beta'], jnp.float32),
-                             jnp.asarray(tables['gamma'], jnp.float32),
-                             jnp.asarray(tables['l0']),
-                             jnp.asarray(tables['seed_v'], jnp.float32),
-                             jnp.asarray(tables['seed_k']),
+                             jnp.asarray(tb['alpha'], jnp.float32),
+                             jnp.asarray(tb['beta'], jnp.float32),
+                             jnp.asarray(tb['gamma'], jnp.float32),
+                             jnp.asarray(tb['l0']),
+                             jnp.asarray(tb['seed_v'], jnp.float32),
+                             jnp.asarray(tb['seed_k']),
                              jnp.asarray(x, jnp.float32),
                              jnp.real(Cl).astype(jnp.float32),
                              jnp.imag(Cl).astype(jnp.float32), interpret)
