@@ -97,8 +97,10 @@ class HealpixGeometry:
 class HealpixSHT:
     """Spin-s SHT on the HEALPix grid.
 
-    alm2map / alm2map_spin are exact (synthesis); map2alm / map2alm_spin use equal-area
-    quadrature (healpy iter=0 behaviour). Maps are flat (npix,) RING-ordered arrays.
+    alm2map / alm2map_spin are exact (synthesis); map2alm / map2alm_spin use ring-weight
+    quadrature by default (use_ring_weights=False gives healpy's equal-area iter=0
+    behaviour), with optional Jacobi refinement (healpy's iter>0) via the iter argument.
+    Maps are flat (npix,) RING-ordered arrays.
     """
 
     def __init__(self, nside, lmax, dtype=np.float64, use_ring_weights=True):
@@ -203,20 +205,27 @@ class HealpixSHT:
 
     def _quad_w(self):
         if self.use_ring_weights:
-            return jnp.asarray(self.geom.ring_weights() / self.geom.nphi
-                               * (2. * np.pi))[None, :, None] * self.geom.nphi[None, :, None] / (2. * np.pi) * 0 +                 jnp.asarray(self.geom.ring_weights())[None, :, None]
+            return jnp.asarray(self.geom.ring_weights())[None, :, None]
         return self.geom.omega
 
-    def map2alm(self, m):
+    def map2alm(self, m, iter=0):
+        """Quadrature analysis, optionally Jacobi-refined (healpy map2alm iter semantics:
+        alm <- alm + A(m - S(alm)), iter times)."""
         m = jnp.asarray(m)
         batch_shape = m.shape[:-1]
         mc = m.reshape((-1, m.shape[-1]))
+        out = self._map2alm_once(mc)
+        for _ in range(iter):
+            resid = mc - self.alm2map(out)
+            out = out + self._map2alm_once(resid)
+        return out.reshape(batch_shape + out.shape[-1:])
+
+    def _map2alm_once(self, mc):
         G = self._map_to_rings(mc) * self._quad_w()  # ring-weight quadrature
         A = legendre_anal(G, 0, self.geom.theta, self.lmax,
                           grid_token=self.geom.token(), dtype=self.dtype)
         A = A * _facl(self.lmax)[:, None]
-        out = ualm.lm2alm(A, self.lmax)
-        return out.reshape(batch_shape + out.shape[-1:])
+        return ualm.lm2alm(A, self.lmax)
 
     def alm2map_spin(self, gclm, spin):
         """(re, im) flat maps of the spin field; healpy conventions as transforms.SHT."""
@@ -246,13 +255,23 @@ class HealpixSHT:
         return (re.reshape(batch_shape + (self.geom.npix,)),
                 im.reshape(batch_shape + (self.geom.npix,)))
 
-    def map2alm_spin(self, maps, spin):
+    def map2alm_spin(self, maps, spin, iter=0):
         assert spin > 0
         m1, m2 = maps
         m1 = jnp.asarray(m1)
         batch_shape = m1.shape[:-1]
         mc1 = m1.reshape((-1, m1.shape[-1]))
         mc2 = jnp.asarray(m2).reshape(mc1.shape)
+        glm, clm = self._map2alm_spin_once(mc1, mc2, spin)
+        for _ in range(iter):
+            r1, r2 = self.alm2map_spin((glm, clm), spin)
+            dg, dc = self._map2alm_spin_once(mc1 - r1, mc2 - r2, spin)
+            glm = glm + dg
+            clm = clm + dc
+        return (glm.reshape(batch_shape + glm.shape[-1:]),
+                clm.reshape(batch_shape + clm.shape[-1:]))
+
+    def _map2alm_spin_once(self, mc1, mc2, spin):
         # G+- from the complex map f = m1 + i m2: G+_m = DFT_m(f), G-_m = DFT_m(conj(f))*?
         Gp = self._map_to_rings_cplx(mc1, mc2, sign=+1) * self._quad_w()
         Gm = self._map_to_rings_cplx(mc1, mc2, sign=-1) * self._quad_w()
@@ -264,8 +283,7 @@ class HealpixSHT:
         B = ((-1.) ** spin) * jnp.conj(Bc) * fac
         glm = ualm.lm2alm(-0.5 * (A + B), self.lmax)
         clm = ualm.lm2alm(0.5j * (A - B), self.lmax)
-        return (glm.reshape(batch_shape + glm.shape[-1:]),
-                clm.reshape(batch_shape + clm.shape[-1:]))
+        return glm, clm
 
     def _map_to_rings_cplx(self, m1, m2, sign=+1):
         """G_m = sum_k (m1 + i m2) e^{-sign * i m phi_k} per ring."""

@@ -1,5 +1,5 @@
-"""HEALPix-grid SHT: synthesis against brute-force sums, analysis round trip at the
-equal-area-quadrature accuracy level (the reference's healpy iter=0 convention)."""
+"""HEALPix-grid SHT: synthesis against brute-force sums, analysis round trip at
+quadrature accuracy (ring weights / equal-area) and with Jacobi refinement (iter>0)."""
 import numpy as np
 import pytest
 
@@ -61,6 +61,28 @@ def test_roundtrip_quadrature_accuracy():
     back = np.asarray(sht.map2alm(sht.alm2map(tlm)))
     err = np.abs(back - tlm).max() / np.abs(tlm).max()
     assert err < 0.05, err
+
+
+def test_ring_weights_and_iter_refinement():
+    lmax = NSIDE
+    tlm = _random_alm(lmax, 2)
+    sht_ea = HealpixSHT(NSIDE, lmax, use_ring_weights=False)
+    sht_rw = HealpixSHT(NSIDE, lmax)
+    m = sht_rw.alm2map(tlm)
+
+    def err(back):
+        return np.abs(np.asarray(back) - tlm).max() / np.abs(tlm).max()
+    e_ea, e_rw = err(sht_ea.map2alm(m)), err(sht_rw.map2alm(m))
+    assert e_rw < 0.3 * e_ea, (e_rw, e_ea)   # ring weights beat equal-area
+    assert err(sht_rw.map2alm(m, iter=1)) < 1e-5
+    assert err(sht_rw.map2alm(m, iter=3)) < 1e-10
+    # spin-2 refinement
+    glm = _random_alm(lmax, 3, lmin=2)
+    clm = _random_alm(lmax, 4, lmin=2)
+    q, u = sht_rw.alm2map_spin((glm, clm), 2)
+    gb, cb = sht_rw.map2alm_spin((q, u), 2, iter=3)
+    assert np.abs(np.asarray(gb) - glm).max() / np.abs(glm).max() < 1e-10
+    assert np.abs(np.asarray(cb) - clm).max() / np.abs(clm).max() < 1e-10
 
 
 def test_spin2_roundtrip_consistency():
