@@ -1,3 +1,4 @@
-from . import alm, cls, hashing, cachers, sql
+from . import alm, cls, hashing, cachers, sql, fitsio
+from .fitsio import read_alm, write_alm, read_map, write_map, read_cl, write_cl
 from .cls import camb_clfile, cli, clinv, joincls, extcl, cls_dot, cl_inverse
 from .hashing import clhash, mchash, hash_check
