@@ -136,13 +136,15 @@ class QELib:
         cacher: optional cacher for computed qlms
     """
 
-    def __init__(self, ivfs1, ivfs2, cls_weight, lmax_ivf, lmax_qlm, cacher=None):
+    def __init__(self, ivfs1, ivfs2, cls_weight, lmax_ivf, lmax_qlm, cacher=None,
+                 resplib=None):
         self.ivfs1 = ivfs1
         self.ivfs2 = ivfs2
         self.cls_weight = cls_weight
         self.lmax_ivf = lmax_ivf
         self.lmax_qlm = lmax_qlm
         self.cacher = cacher if cacher is not None else cacher_mem(maxsize=64)
+        self.resplib = resplib  # needed for '_bh_' (bias-hardened) keys
 
     def hashdict(self):
         return {'ivfs1': self.ivfs1.hashdict(), 'ivfs2': self.ivfs2.hashdict(),
@@ -166,14 +168,19 @@ class QELib:
         """Gradient (and curl) QE alms for simulation idx; composite and _bh_ keys resolve
         recursively as in the reference (reference: plancklens/qest.py:155-201)."""
         assert k[0] in ['p', 'x', 's', 'f', 'a'], k
+        if k in ['p_tp', 'x_tp', 'f_tp', 's_tp']:
+            return (self.get_sim_qlm('%stt' % k[0], idx, grad_only=grad_only)
+                    + self.get_sim_qlm('%s_p' % k[0], idx, grad_only=grad_only))
+        if k in ['p_te', 'p_tb', 'p_eb', 'x_te', 'x_tb', 'x_eb']:
+            return (self.get_sim_qlm(k[0] + k[2] + k[3], idx, grad_only=grad_only)
+                    + self.get_sim_qlm(k[0] + k[3] + k[2], idx, grad_only=grad_only))
+        if '_bh_' in k:
+            # bias-hardened map: qlm^{bh} = qlm^{QE} - w_L qlm^{src-est}, with
+            # w_L = R^{QE,src} / R^{src-est,src} (reference: plancklens/qest.py:173-181)
+            return self._bh_qlm(k, lambda kk: self.get_sim_qlm(kk, idx,
+                                                               grad_only=grad_only))
         fn = 'qlm_%s_%04d' % (k, idx)
         fnx = 'qlm_%s_%04d' % ('x' + k[1:], idx)
-        if '_bh_' in k:
-            # bias-hardened maps need the response-library weights w_L = R^{hk}/R^{hh}
-            # (reference: plancklens/qest.py:164-183); compose get_sim_qlm calls with a
-            # RespLib at the pipeline level
-            raise NotImplementedError('bias-hardened qlm maps: combine the fundamental '
-                                      'keys with RespLib weights at the pipeline level')
         if not self.cacher.is_cached(fn):
             glm, clm = self._eval_key(k, self._get_alm_fn(self.ivfs1, idx),
                                       self._get_alm_fn(self.ivfs2, idx)
@@ -192,8 +199,26 @@ class QELib:
         return eval_qe(kk, self.lmax_ivf, self.cls_weight, get_alm, self.lmax_qlm,
                        get_alm2=get_alm2)
 
+    def _bh_qlm(self, k, get_qlm):
+        from ..utils.cls import cli
+        assert self.resplib is not None, \
+            "'_bh_' keys need the resplib argument (a qresp.RespLib)"
+        kQE, ksource = k.split('_bh_')
+        assert len(ksource) == 1, (kQE, ksource)
+        wL = np.asarray(self.resplib.get_response(kQE, ksource)) \
+            * cli(np.asarray(self.resplib.get_response(ksource + kQE[1:], ksource)))
+        return get_qlm(kQE) - _almxfl(get_qlm(ksource + kQE[1:]), wL)
+
     def get_sim_qlm_batch(self, k, idxs):
         """Batched evaluation over simulation indices (one jitted pipeline, sims axis)."""
+        if k in ['p_tp', 'x_tp', 'f_tp', 's_tp']:
+            return (self.get_sim_qlm_batch('%stt' % k[0], idxs)
+                    + self.get_sim_qlm_batch('%s_p' % k[0], idxs))
+        if k in ['p_te', 'p_tb', 'p_eb', 'x_te', 'x_tb', 'x_eb']:
+            return (self.get_sim_qlm_batch(k[0] + k[2] + k[3], idxs)
+                    + self.get_sim_qlm_batch(k[0] + k[3] + k[2], idxs))
+        if '_bh_' in k:
+            return self._bh_qlm(k, lambda kk: self.get_sim_qlm_batch(kk, idxs))
         get_alm = self._get_alm_batch_fn(self.ivfs1, idxs)
         get_alm2 = None
         if self.ivfs2 is not self.ivfs1:

@@ -92,3 +92,25 @@ def test_mean_field_is_small():
     NG = nhl.get_nhl('ptt', 'ptt', CLS_LEN, CLS_IVFS, LMAX, LMAX, lmax_out=LMAX)[0]
     # MF spectrum should be ~ N0/NSIMS, not ~ N0
     assert np.mean(cl_mf[10:100] / NG[10:100]) < 3. / NSIMS
+
+
+def test_composite_and_bh_keys():
+    # p_te = pte + pet; ptt_bh_s = ptt - almxfl(stt, R^{ps}/R^{ss}); p_tp = ptt + p_p
+    # (reference: plancklens/qest.py:168-181)
+    from plancklens_tpu.models.qest import _almxfl
+    resplib = qresp.RespLib(LMAX, CLS_LEN, CLS_LEN, FAL, LMAX)
+    qlib = QELib(IVFS, IVFS, CLS_LEN, LMAX, LMAX, resplib=resplib)
+    idxs = np.array([0, 1])
+    assert np.allclose(np.asarray(qlib.get_sim_qlm_batch('p_te', idxs)),
+                       np.asarray(qlib.get_sim_qlm_batch('pte', idxs)
+                                  + qlib.get_sim_qlm_batch('pet', idxs)))
+    assert np.allclose(np.asarray(qlib.get_sim_qlm('p_tp', 0)),
+                       np.asarray(qlib.get_sim_qlm('ptt', 0))
+                       + np.asarray(qlib.get_sim_qlm('p_p', 0)))
+    wL = np.asarray(resplib.get_response('ptt', 's')) \
+        * cli(np.asarray(resplib.get_response('stt', 's')))
+    expected = np.asarray(qlib.get_sim_qlm('ptt', 0)) \
+        - np.asarray(_almxfl(qlib.get_sim_qlm('stt', 0), wL))
+    got = np.asarray(qlib.get_sim_qlm('ptt_bh_s', 0))
+    assert np.allclose(got, expected)
+    assert not np.allclose(got, np.asarray(qlib.get_sim_qlm('ptt', 0)))
