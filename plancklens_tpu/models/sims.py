@@ -235,18 +235,20 @@ class CMBLenLib:
 
 
 class ExternalAlmLib:
-    """Simulation library backed by on-disk alm arrays (.npy), the role of the reference's
+    """Simulation library backed by on-disk alm files, the role of the reference's
     NERSC FFP10 loaders (reference: plancklens/sims/planck2018_sims.py): idx >= 0 loads
-    '<prefix>_<field>lm_%04d.npy', idx == -1 the data files '<prefix>_<field>lm_dat.npy'.
+    '<prefix>_<field>lm_%04d.<ext>', idx == -1 the data files '<prefix>_<field>lm_dat.<ext>'.
 
-    FITS-based healpy alm files can be converted once with healpy on any machine; this
-    environment has no FITS IO, so the interchange format is npy.
+    ext='fits' reads healpy-format alm FITS files directly (utils.fitsio); ext='npy'
+    reads raw triangular-layout arrays.
     """
 
-    def __init__(self, tdir, prefix='sim', fields=('t', 'e', 'b')):
+    def __init__(self, tdir, prefix='sim', fields=('t', 'e', 'b'), ext='npy'):
+        assert ext in ('npy', 'fits'), ext
         self.tdir = tdir
         self.prefix = prefix
         self.fields = fields
+        self.ext = ext
 
     def hashdict(self):
         return {'tdir': self.tdir, 'prefix': self.prefix, 'fields': ''.join(self.fields)}
@@ -254,9 +256,12 @@ class ExternalAlmLib:
     def _fn(self, f, idx):
         import os
         tag = 'dat' if idx == -1 else '%04d' % idx
-        return os.path.join(self.tdir, '%s_%slm_%s.npy' % (self.prefix, f, tag))
+        return os.path.join(self.tdir, '%s_%slm_%s.%s' % (self.prefix, f, tag, self.ext))
 
     def _get(self, f, idx):
+        if self.ext == 'fits':
+            from ..utils.fitsio import read_alm
+            return jnp.asarray(read_alm(self._fn(f, idx)))
         return jnp.asarray(np.load(self._fn(f, idx)))
 
     def get_sim_tlm(self, idx):
@@ -328,3 +333,29 @@ class SimLibAdd:
                 return ra
             return get
         return getattr(self.a, name)
+
+
+class AlmMapLib:
+    """Map-space view of an alm simulation library on a ring geometry: the 'observed sky'
+    interface the masked (cinv) filters consume (reference role: plancklens/sims/maps.py
+    cmb_maps classes; here the observed alms, e.g. hp.map2alm of the SMICA map, carry the
+    information and the maps are synthesised on the solver grid)."""
+
+    def __init__(self, alm_lib, geom, lmax, dtype=None):
+        from ..ops.sht import SHT
+        self.alm_lib = alm_lib
+        self.lmax = lmax
+        kw = {} if dtype is None else {'dtype': dtype}
+        self.sht = SHT(geom, lmax, **kw)
+
+    def hashdict(self):
+        return {'alm_lib': self.alm_lib.hashdict(), 'lmax': self.lmax,
+                'geom': self.sht.geom.hashdict()}
+
+    def get_sim_tmap(self, idx):
+        return self.sht.alm2map(self.alm_lib.get_sim_tlm(idx))
+
+    def get_sim_pmap(self, idx):
+        elm = self.alm_lib.get_sim_elm(idx)
+        blm = self.alm_lib.get_sim_blm(idx)
+        return self.sht.alm2map_spin((elm, blm), 2)

@@ -291,3 +291,42 @@ class HealpixSHT:
             return self._map_to_rings(m1) + 1j * self._map_to_rings(m2)
         # e^{+im phi}: conjugate trick on the real transforms
         return jnp.conj(self._map_to_rings(m1)) + 1j * jnp.conj(self._map_to_rings(m2))
+
+
+def pixwin(nside, lmax):
+    """Approximate HEALPix pixel window function (the role of healpy's tabulated
+    hp.pixwin, reference usage: params/smicadx12_planck2018.py:37).
+
+    Azimuthally-averaged circular-tophat model of a pixel of area Omega = 4 pi / npix:
+    W_l = (P_{l-1}(x0) - P_{l+1}(x0)) / ((2 l + 1)(1 - x0)), x0 = 1 - Omega / (2 pi).
+    Agrees with the tabulated window to sub-percent for l <~ 2 nside (the window is a
+    sub-percent beam correction there in the first place); healpy's files remain the
+    exact reference for per-mille work.
+    """
+    from scipy.special import eval_legendre
+    x0 = 1. - (4. * np.pi / (12 * nside ** 2)) / (2. * np.pi)
+    ls = np.arange(lmax + 1)
+    pm1 = np.where(ls == 0, 1., eval_legendre(np.maximum(ls - 1, 0), x0))
+    pp1 = eval_legendre(ls + 1, x0)
+    return (pm1 - pp1) / (2. * ls + 1.) / (1. - x0)
+
+
+def resample_to_rings(m, nside, geom):
+    """Nearest-neighbour resampling of a RING-ordered HEALPix map onto a RingGeometry
+    (uniform-nphi rings). For masks / inverse-variance maps entering the cinv filters,
+    where values are piecewise constant and SHT interpolation would ring."""
+    m = np.asarray(m)
+    hg = HealpixGeometry(nside)
+    # nearest healpix ring for each output ring
+    r_of = np.searchsorted(hg.theta, geom.theta)
+    r_of = np.clip(r_of, 1, hg.nrings - 1)
+    r_of -= (geom.theta - hg.theta[r_of - 1]) < (hg.theta[np.minimum(r_of, hg.nrings - 1)]
+                                                 - geom.theta)
+    r_of = np.clip(r_of, 0, hg.nrings - 1)
+    out = np.empty((geom.nrings, geom.nphi), dtype=m.dtype)
+    phis = 2. * np.pi * np.arange(geom.nphi) / geom.nphi
+    for i, r in enumerate(r_of):
+        npr = hg.nphi[r]
+        j = np.rint((phis - hg.phi0[r]) / (2. * np.pi) * npr).astype(np.int64) % npr
+        out[i] = m[hg.ofs[r] + j]
+    return out

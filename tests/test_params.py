@@ -1,0 +1,33 @@
+"""Parameter files: import cleanly, data-independent pieces work, data-dependent
+libraries fail lazily with an informative path (no external Planck products here)."""
+import importlib.util
+import os
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load(name):
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(ROOT, 'params', name + '.py'))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_smica_parfile():
+    par = _load('smica_dx12_planck2018')
+    assert par.transf.shape == (par.lmax_ivf + 1,)
+    assert np.all(np.isfinite(par.transf)) and 0. < par.transf[-1] < 1.
+    assert np.all(np.isfinite(par.fal['tt'])) and par.fal['tt'][par.lmin_ivf - 1] == 0.
+    # ss_dict mirrors the reference's roll-by-blocks-of-60 (qest.py analog lines 77-79)
+    assert par.ss_dict[0] == 1 and par.ss_dict[59] == 0 and par.ss_dict[60] == 61
+    assert all(v == -1 for v in par.ds_dict.values())
+    with pytest.raises(FileNotFoundError):
+        par.ivfs.get_sim_tlm(0)
+
+
+def test_idealized_parfile():
+    par = _load('idealized_example')
+    assert hasattr(par, 'qlms_dd')
