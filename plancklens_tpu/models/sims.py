@@ -359,3 +359,61 @@ class AlmMapLib:
         elm = self.alm_lib.get_sim_elm(idx)
         blm = self.alm_lib.get_sim_blm(idx)
         return self.sht.alm2map_spin((elm, blm), 2)
+
+
+class MapsLenNlevLib:
+    """Beam-convolved lensed CMB maps + homogeneous white pixel noise on a ring geometry
+    (reference: plancklens/sims/maps.py:101-173 cmb_maps_nlev over cmb_len_ffp10): the
+    map-space observed-sky library the masked (cinv) filters consume.
+
+    Pixel noise: sigma_pix = (nlev in uK amin, as rad) / sqrt(Omega_pix), with Omega_pix
+    from the geometry's quadrature weights — the per-steradian convention of the filters.
+
+    Args:
+        len_lib: CMBLenLib-like with get_sim_tmap/get_sim_pmap on the same geometry
+        transf: beam b_l; applied in harmonic space before the final synthesis
+        nlev_t, nlev_p: white noise levels in uK-arcmin
+        seed: noise seed (independent of the CMB seed)
+    """
+
+    def __init__(self, len_lib, transf, nlev_t, nlev_p, seed=2000):
+        self.len_lib = len_lib
+        self.geom = len_lib.geom
+        self.lmax = len_lib.lmax
+        self.transf = np.asarray(transf)[:self.lmax + 1]
+        self.nlev_t = nlev_t
+        self.nlev_p = nlev_p
+        self.seed = seed
+        g = self.geom
+        omega = np.outer(g.weight, np.full(g.nphi, 2. * np.pi / g.nphi))
+        self._sig_t = (nlev_t / 60. / 180. * np.pi) / np.sqrt(omega)
+        self._sig_p = (nlev_p / 60. / 180. * np.pi) / np.sqrt(omega)
+
+    def hashdict(self):
+        return {'len': self.len_lib.hashdict(), 'transf': clhash(self.transf),
+                'nlev_t': self.nlev_t, 'nlev_p': self.nlev_p, 'seed': self.seed}
+
+    def ninv_t(self):
+        return 1. / self._sig_t ** 2
+
+    def ninv_p(self):
+        return 1. / self._sig_p ** 2
+
+    def _rng(self, idx, tag):
+        return np.random.RandomState((self.seed, idx + 1, tag))
+
+    def get_sim_tmap(self, idx):
+        tlm = self.len_lib.sht.map2alm(self.len_lib.get_sim_tmap(idx))
+        tlm = ualm.almxfl(tlm, self.lmax, jnp.asarray(self.transf))
+        t = np.asarray(self.len_lib.sht.alm2map(tlm))
+        return t + self._rng(idx, 0).standard_normal(t.shape) * self._sig_t
+
+    def get_sim_pmap(self, idx):
+        elm, blm = self.len_lib.get_sim_eblm(idx)
+        bl = jnp.asarray(self.transf)
+        elm = ualm.almxfl(elm, self.lmax, bl)
+        blm = ualm.almxfl(blm, self.lmax, bl)
+        q, u = self.len_lib.sht.alm2map_spin((elm, blm), 2)
+        rng = self._rng(idx, 1)
+        return (np.asarray(q) + rng.standard_normal(self._sig_p.shape) * self._sig_p,
+                np.asarray(u) + rng.standard_normal(self._sig_p.shape) * self._sig_p)

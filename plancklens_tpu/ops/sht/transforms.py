@@ -33,7 +33,11 @@ def _facl(lmax):
 
 @partial(jax.jit, static_argnums=(2, 3))
 def _to_rings(Fp, Fm, nphi, phi0):
-    """Assemble FFT bins and synthesize rings: f_k = sum_m Fp e^{im phi_k} + Fm e^{-im phi_k}."""
+    """Assemble FFT bins and synthesize rings: f_k = sum_m Fp e^{im phi_k} + Fm e^{-im phi_k}.
+
+    m is folded mod nphi into the FFT bins, so the synthesis stays exact at the grid
+    points even when nphi < 2 mmax + 1 (the map is then merely non-invertible) — needed
+    e.g. for deflection fields at lmax_unl evaluated on an lmax output grid."""
     batch, nrings, mmaxp1 = Fp.shape
     m = jnp.arange(mmaxp1)
     if phi0 != 0.:
@@ -42,8 +46,13 @@ def _to_rings(Fp, Fm, nphi, phi0):
         Fm = Fm * jnp.conj(rot)
     X = jnp.zeros((batch, nrings, nphi), dtype=jnp.complex128
                   if Fp.dtype == jnp.complex128 else jnp.complex64)
-    X = X.at[..., :mmaxp1].set(Fp)
-    X = X.at[..., -mmaxp1 + 1:].add(Fm[..., 1:][..., ::-1])
+    mm = np.arange(mmaxp1)
+    if mmaxp1 <= nphi - (mmaxp1 - 1):  # disjoint bins: cheap slice placement
+        X = X.at[..., :mmaxp1].set(Fp)
+        X = X.at[..., -mmaxp1 + 1:].add(Fm[..., 1:][..., ::-1])
+    else:
+        X = X.at[..., mm % nphi].add(Fp)
+        X = X.at[..., (-mm[1:]) % nphi].add(Fm[..., 1:])
     return jnp.fft.ifft(X, axis=-1) * nphi
 
 
@@ -51,6 +60,8 @@ def _to_rings(Fp, Fm, nphi, phi0):
 def _from_rings(maps, mmax, phi0):
     """Extract G+_m, G-_m = (2pi/nphi) sum_k f_k e^{-+ im phi_k} from complex ring maps."""
     nphi = maps.shape[-1]
+    assert nphi >= 2 * mmax + 1, \
+        'analysis needs nphi >= 2 mmax + 1 (%d < %d)' % (nphi, 2 * mmax + 1)
     T = jnp.fft.fft(maps, axis=-1) * (2. * np.pi / nphi)
     Gp = T[..., :mmax + 1]
     Gm = jnp.concatenate([T[..., :1], T[..., -mmax:][..., ::-1]], axis=-1)

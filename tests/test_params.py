@@ -31,3 +31,18 @@ def test_smica_parfile():
 def test_idealized_parfile():
     par = _load('idealized_example')
     assert hasattr(par, 'qlms_dd')
+
+
+def test_anisofilt_parfile_full_chain():
+    # the whole masked pipeline, shrunk: lensed sims -> masked CG filter -> QE
+    os.environ['PLK_ANISO_LMAX'] = '48'
+    os.environ['PLK_ANISO_NSIMS'] = '10'
+    try:
+        par = _load('anisofilt_example')
+    finally:
+        del os.environ['PLK_ANISO_LMAX'], os.environ['PLK_ANISO_NSIMS']
+    assert 0.5 < par.mask.mean() < 1.
+    bt = np.asarray(par.ivfs.get_sim_tlm(0))
+    assert np.all(np.isfinite(bt)) and np.abs(bt).max() > 0.
+    q = np.asarray(par.qlms_dd.get_sim_qlm('ptt', 0))
+    assert np.all(np.isfinite(q)) and np.abs(q).max() > 0.

@@ -141,3 +141,27 @@ def test_high_m_underflow_recovery():
     assert np.abs(f[0] - expected_ring0).max() < 1e-10
     back = np.asarray(sht.map2alm(f))
     assert np.abs(back - tlm).max() < 1e-10
+
+
+def test_aliased_synthesis_exact_pointwise():
+    # nphi far below 2 lmax + 1: synthesis folds m mod nphi and must stay exact at the
+    # grid points (deflection fields at lmax_unl are evaluated on lmax output grids)
+    from plancklens_tpu.ops.sht.geometry import ecp_geometry
+    from plancklens_tpu.ops import wigner as wig
+    lmax = 48
+    rng = np.random.RandomState(0)
+    ls, ms = ualm._lm_indices(lmax)
+    a = rng.standard_normal(len(ls)) + 1j * rng.standard_normal(len(ls))
+    a[ms == 0] = a[ms == 0].real
+    geom = ecp_geometry(20, nphi=25)
+    f = np.asarray(SHT(geom, lmax).alm2map(a))
+    fac = np.sqrt((2 * np.arange(lmax + 1) + 1) / (4 * np.pi))
+    ring = 7
+    x = np.array([np.cos(geom.theta[ring])])
+    phis = geom.phi0 + 2 * np.pi * np.arange(geom.nphi) / geom.nphi
+    fb = np.zeros(geom.nphi)
+    for m in range(lmax + 1):
+        dm = np.asarray(wig.wigner_dmat(lmax, m, 0, x))[:, 0]
+        Fm = np.sum(a[ualm.getidx(lmax, np.arange(m, lmax + 1), m)] * (fac * dm)[m:])
+        fb += (2. - (m == 0)) * np.real(Fm * np.exp(1j * m * phis))
+    assert np.abs(f[ring] - fb).max() < 1e-10 * np.abs(fb).max()
