@@ -33,14 +33,17 @@ def main():
     # compile + warmup
     q, u = sht.alm2map_spin((glm, clm), 2)
     q.block_until_ready()
-    # per-rep minimum: robust against interference on a shared device/relay
-    nit = 6
+    # per-rep minimum: robust against interference on a shared device/relay; reps are
+    # spread over a few seconds to catch a quiet window
+    nit = 12
     best = np.inf
-    for _ in range(nit):
+    for i in range(nit):
         t0 = time.time()
         q, u = sht.alm2map_spin((glm, clm), 2)
         q.block_until_ready()
         best = min(best, time.time() - t0)
+        if i % 4 == 3:
+            time.sleep(0.5)
     dt_ms = best / BATCH * 1e3
 
     print(json.dumps({
