@@ -158,7 +158,13 @@ class QELib:
         return get_alm
 
     def _get_alm_batch_fn(self, ivfs, idxs):
-        t, e, b = ivfs.get_sim_teblm_batch(idxs)
+        if hasattr(ivfs, 'get_sim_teblm_batch'):
+            t, e, b = ivfs.get_sim_teblm_batch(idxs)
+        else:  # filters exposing only the per-index interface (cinv chains, wrappers)
+            idxs = np.atleast_1d(idxs)
+            t = jnp.stack([jnp.asarray(ivfs.get_sim_tlm(int(i))) for i in idxs])
+            e = jnp.stack([jnp.asarray(ivfs.get_sim_elm(int(i))) for i in idxs])
+            b = jnp.stack([jnp.asarray(ivfs.get_sim_blm(int(i))) for i in idxs])
 
         def get_alm(f):
             return {'t': t, 'e': e, 'b': b}[f]
