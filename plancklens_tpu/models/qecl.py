@@ -61,6 +61,39 @@ class QeClLib:
         self.mc_sims_mf = np.asarray(mc_sims_mf, dtype=int)
         self.lmax_qlm = lmax_qlm if lmax_qlm is not None else qeA.lmax_qlm
         self.cacher = cacher if cacher is not None else cacher_mem(maxsize=128)
+        # sky fractions of the four legs' mask products (reference: plancklens/qecl.py:
+        # 40-49, 63-68), consumed by the band-power variance weights; 1 when the filters
+        # carry no mask. Ring grids are area-weighted (unlike healpix, rings differ).
+        self.fskies = self._fskies()
+        self.fsky1234 = self.fskies[1234]
+        self.fsky11 = self.fskies[11]
+        self.fsky12 = self.fskies[12]
+        self.fsky22 = self.fskies[22]
+
+    def _fskies(self):
+        ones = {10 * i + j: 1. for i in range(1, 5) for j in range(i, 5)}
+        ones[1234] = 1.
+        ms, geom = [], None
+        for ivfs in (self.qeA.ivfs1, self.qeA.ivfs2, self.qeB.ivfs1, self.qeB.ivfs2):
+            base = ivfs
+            while not hasattr(base, 'get_fmask') and hasattr(base, 'ivfs'):
+                base = base.ivfs  # unwrap IVFFtl / IVFShuffle-style views
+            if not hasattr(base, 'get_fmask'):
+                return ones
+            ms.append(np.asarray(base.get_fmask()))
+            geom = getattr(getattr(base, 'cinv_t', None), 'geom', None) or geom
+        if not all(m.shape == ms[0].shape for m in ms):
+            return ones
+        if geom is not None:  # quadrature-weighted mean over the ring grid
+            w = np.outer(np.asarray(geom.weight), np.full(ms[0].shape[-1],
+                                                          2. * np.pi / ms[0].shape[-1]))
+            mean = lambda m: float(np.sum(m * w) / (4. * np.pi))
+        else:
+            mean = lambda m: float(np.mean(m))
+        fskies = {10 * i + j: mean(ms[i - 1] * ms[j - 1])
+                  for i in range(1, 5) for j in range(i, 5)}
+        fskies[1234] = mean(ms[0] * ms[1] * ms[2] * ms[3])
+        return fskies
 
     def hashdict(self):
         return {'qeA': self.qeA.hashdict(), 'qeB': self.qeB.hashdict(),
