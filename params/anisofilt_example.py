@@ -75,10 +75,9 @@ fbl = (ls >= lmin_ivf) * 1.
 ivfs = IVFFtl(ivfs_raw, ftl, fel, fbl)
 
 # ------------------------------------------------------ shuffled pairs (MCN0 / RDN0)
-_blk = max(1, nsims // 5)
-ss_dict = {k: v for i in range(max(1, nsims // _blk))
-           for k, v in zip(range(i * _blk, (i + 1) * _blk),
-                           np.roll(np.arange(i * _blk, (i + 1) * _blk), -1))}
+# global idx -> idx+1 roll (the reference's blocks-of-60 variant degenerates to the
+# identity at small nsims, which would silently turn ss spectra into dd spectra)
+ss_dict = {i: (i + 1) % nsims for i in range(nsims)}
 ds_dict = {k: -1 for k in range(nsims)}
 ivfs_d = IVFShuffle(ivfs, ds_dict)
 ivfs_s = IVFShuffle(ivfs, ss_dict)
