@@ -133,7 +133,7 @@ def _legendre_scan(mode, S, C_or_Q, alpha, beta, gamma, l0, seed_v, seed_k, x):
     # chunk the l loop: the recursion state stays register/VMEM-resident across CHUNK
     # steps and the large (batch, nrings, m) accumulator is read/written once per chunk
     # instead of once per l — the accumulator's HBM traffic dominates otherwise
-    CHUNK = 8
+    CHUNK = int(__import__('os').environ.get('PLK_SHT_CHUNK', 8))  # perf knob
     npad = (-lmaxp1) % CHUNK
     nchunks = (lmaxp1 + npad) // CHUNK
 
