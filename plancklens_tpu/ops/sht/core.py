@@ -204,20 +204,33 @@ def _tabs_for(t, data):
     return t[flavour]
 
 
-def legendre_synth(C, n, theta, grid_token=None, dtype=np.float64):
-    """G_{jm} = sum_l C_{lm} d^l_{m,n}(theta_j); C (batch, lmax+1, mmax+1) complex or real."""
+def legendre_synth(C, n, theta, grid_token=None, dtype=np.float64, engine='xla'):
+    """G_{jm} = sum_l C_{lm} d^l_{m,n}(theta_j); C (batch, lmax+1, mmax+1) complex or real.
+
+    engine='pallas' uses the VMEM-resident TPU kernel (f32; runs in interpret mode
+    automatically on CPU backends)."""
     lmax = C.shape[-2] - 1
     mmax = C.shape[-1] - 1
     t = recursion_tables(lmax, mmax, n, theta, grid_token=grid_token, dtype=dtype)
+    if engine == 'pallas':
+        from .pallas_kernel import legendre_synth_pallas
+        interp = jax.default_backend() == 'cpu'
+        return legendre_synth_pallas(C, t, np.cos(np.asarray(theta)), interpret=interp)
     tb = _tabs_for(t, C)
     return _legendre_scan('synth', t['S'], jnp.asarray(C), tb['alpha'], tb['beta'],
                           tb['gamma'], tb['l0'], tb['seed_v'], tb['seed_k'], tb['x'])
 
 
-def legendre_anal(Q, n, theta, lmax, grid_token=None, dtype=np.float64):
-    """C_{lm} = sum_j Q_{jm} d^l_{m,n}(theta_j); Q (batch, nrings, mmax+1)."""
+def legendre_anal(Q, n, theta, lmax, grid_token=None, dtype=np.float64, engine='xla'):
+    """C_{lm} = sum_j Q_{jm} d^l_{m,n}(theta_j); Q (batch, nrings, mmax+1).
+
+    engine='pallas' uses the VMEM-resident TPU kernel (f32; interpret mode on CPU)."""
     mmax = Q.shape[-1] - 1
     t = recursion_tables(lmax, mmax, n, theta, grid_token=grid_token, dtype=dtype)
+    if engine == 'pallas':
+        from .pallas_kernel import legendre_anal_pallas
+        interp = jax.default_backend() == 'cpu'
+        return legendre_anal_pallas(Q, t, np.cos(np.asarray(theta)), lmax, interpret=interp)
     tb = _tabs_for(t, Q)
     return _legendre_scan('anal', t['S'], jnp.asarray(Q), tb['alpha'], tb['beta'],
                           tb['gamma'], tb['l0'], tb['seed_v'], tb['seed_k'], tb['x'])

@@ -80,7 +80,8 @@ class SHT:
     batch dimensions, and maps shaped (..., nrings, nphi).
     """
 
-    def __init__(self, geom_or_lmax, lmax=None, mmax=None, dtype=np.float64):
+    def __init__(self, geom_or_lmax, lmax=None, mmax=None, dtype=np.float64,
+                 engine=None):
         if isinstance(geom_or_lmax, RingGeometry):
             assert lmax is not None
             self.geom = geom_or_lmax
@@ -95,6 +96,14 @@ class SHT:
             dtype = np.float32
         self.dtype = dtype
         self.cdtype = np.complex128 if np.dtype(dtype) == np.float64 else np.complex64
+        # 'xla' (lax.scan engine) or 'pallas' (VMEM-resident TPU kernel, f32);
+        # default from $PLK_SHT_ENGINE so whole pipelines can switch without code changes
+        import os
+        self.engine = engine if engine is not None else \
+            os.environ.get('PLK_SHT_ENGINE', 'xla')
+        if self.engine == 'pallas' and np.dtype(self.dtype) != np.float32:
+            self.dtype = np.float32
+            self.cdtype = np.complex64
 
     # ------------------------------------------------------------------ helpers
     def _tok(self):
@@ -107,8 +116,10 @@ class SHT:
         Cp = A * fac
         Cm = ((-1.) ** spin) * jnp.conj(Abar) * fac
         th = self.geom.theta
-        Fp = legendre_synth(Cp, -spin, th, grid_token=self._tok(), dtype=self.dtype)
-        Fm = legendre_synth(Cm, spin, th, grid_token=self._tok(), dtype=self.dtype)
+        Fp = legendre_synth(Cp, -spin, th, grid_token=self._tok(), dtype=self.dtype,
+                            engine=self.engine)
+        Fm = legendre_synth(Cm, spin, th, grid_token=self._tok(), dtype=self.dtype,
+                            engine=self.engine)
         return Fp, Fm
 
     def _anal_pair(self, maps_c, spin):
@@ -118,9 +129,11 @@ class SHT:
         w = jnp.asarray(self.geom.weight)[:, None]
         fac = _facl(lmax)[:, None]
         A = legendre_anal(Gp * w, -spin, self.geom.theta, lmax,
-                          grid_token=self._tok(), dtype=self.dtype) * fac
+                          grid_token=self._tok(), dtype=self.dtype,
+                          engine=self.engine) * fac
         Bc = legendre_anal(Gm * w, spin, self.geom.theta, lmax,
-                           grid_token=self._tok(), dtype=self.dtype)
+                           grid_token=self._tok(), dtype=self.dtype,
+                           engine=self.engine)
         B = ((-1.) ** spin) * jnp.conj(Bc) * fac
         return A, B
 
@@ -134,7 +147,8 @@ class SHT:
         batch_shape = tlm.shape[:-1]
         A = self._to_grid(tlm.reshape((-1, tlm.shape[-1])))
         Fp = legendre_synth(A * _facl(self.lmax)[:, None], 0, self.geom.theta,
-                            grid_token=self._tok(), dtype=self.dtype)
+                            grid_token=self._tok(), dtype=self.dtype,
+                            engine=self.engine)
         Fm = jnp.conj(Fp)
         f = _to_rings(Fp, Fm, self.geom.nphi, self.geom.phi0).real
         return f.reshape(batch_shape + f.shape[-2:])

@@ -36,3 +36,36 @@ def test_pallas_anal_matches_xla():
     Ax = np.asarray(core.legendre_anal(Q, 2, geom.theta, lmax, dtype=np.float32))
     err = np.abs(Ap - Ax).max() / np.abs(Ax).max()
     assert err < 1e-5, err
+
+
+def test_sht_pallas_engine_matches_xla():
+    """The public SHT API with engine='pallas' (interpret on CPU) == the XLA engine."""
+    from plancklens_tpu.ops.sht import SHT, gl_geometry
+    from plancklens_tpu.utils import alm as ualm
+    lmax = 96
+    geom = gl_geometry(lmax)
+    rng = np.random.RandomState(2)
+    ls, ms = ualm._lm_indices(lmax)
+    g = (rng.standard_normal(len(ls)) + 1j * rng.standard_normal(len(ls))).astype(np.complex64)
+    c = (rng.standard_normal(len(ls)) + 1j * rng.standard_normal(len(ls))).astype(np.complex64)
+    g[ms == 0] = g[ms == 0].real
+    c[ms == 0] = c[ms == 0].real
+    g[ls < 2] = 0.
+    c[ls < 2] = 0.
+    sx = SHT(geom, lmax, dtype=np.float32)
+    sp = SHT(geom, lmax, dtype=np.float32, engine='pallas')
+    qx, ux = sx.alm2map_spin((g, c), 2)
+    qp, up = sp.alm2map_spin((g, c), 2)
+    scale = np.abs(np.asarray(qx)).max()
+    assert np.abs(np.asarray(qp) - np.asarray(qx)).max() < 1e-5 * scale
+    assert np.abs(np.asarray(up) - np.asarray(ux)).max() < 1e-5 * scale
+    gx, cx = sx.map2alm_spin((qx, ux), 2)
+    gp, cp = sp.map2alm_spin((qx, ux), 2)
+    assert np.abs(np.asarray(gp) - np.asarray(gx)).max() < 1e-5 * np.abs(np.asarray(gx)).max()
+    # scalar path
+    tx = sx.alm2map(g)
+    tp = sp.alm2map(g)
+    assert np.abs(np.asarray(tp) - np.asarray(tx)).max() < 1e-5 * np.abs(np.asarray(tx)).max()
+    bx = np.asarray(sx.map2alm(tx))
+    bp = np.asarray(sp.map2alm(tx))
+    assert np.abs(bp - bx).max() < 1e-5 * np.abs(bx).max()
