@@ -33,7 +33,9 @@ def vmaps2vmap_I(pix_vmaps, weights, geom, omega_pix=None):
     """
     weights = np.atleast_2d(np.asarray(weights))
     nf, lmaxp1 = weights.shape
-    lmax_out = 2 * lmaxp1 - 2
+    # the squared correlation function carries power to 2 lmax; analysis is clamped to
+    # the geometry's invertible band (the variance map holds no information beyond it)
+    lmax_out = min(2 * lmaxp1 - 2, (geom.nphi - 1) // 2, geom.nrings - 1)
     if omega_pix is None:
         omega_pix = np.outer(geom.weight, np.full(geom.nphi, 2 * np.pi / geom.nphi))
     sht = SHT(geom, lmax_out)
@@ -54,7 +56,8 @@ def vmaps2vmap_P(pix_vmaps, weights_e, weights_b, geom, omega_pix=None):
     weights_e = np.atleast_2d(np.asarray(weights_e))
     weights_b = np.atleast_2d(np.asarray(weights_b))
     nf, lmaxp1 = weights_e.shape
-    lmax_out = 2 * max(lmaxp1, weights_b.shape[1]) - 2
+    lmax_out = min(2 * max(lmaxp1, weights_b.shape[1]) - 2,
+                   (geom.nphi - 1) // 2, geom.nrings - 1)
     if omega_pix is None:
         omega_pix = np.outer(geom.weight, np.full(geom.nphi, 2 * np.pi / geom.nphi))
     sht = SHT(geom, lmax_out)

@@ -172,9 +172,11 @@ def get_N0_iter(qe_key, nlev_t, nlev_p, beam_fwhm, cls_unl_fid, lmin_ivf, lmax_i
             len(cls_unl_dict['tt']) - 1, lmax_ivf + 500))
         return out
 
+    _, cldd_fid0 = cls2dls(cls_unl_fid)
     if lmax_qlm is None:
         lmax_qlm = 2 * lmax_ivf
-    lmax_qlm = min(lmax_qlm, 2 * lmax_ivf)
+    # the iteration needs the deflection spectrum up to lmax_qlm
+    lmax_qlm = min(lmax_qlm, 2 * lmax_ivf, len(cldd_fid0) - 1)
     lmin_ivf = max(lmin_ivf, 1)
     transfi2 = cli(gauss_beam(beam_fwhm, lmax_ivf)) ** 2
     llp2 = np.arange(lmax_qlm + 1, dtype=float) ** 2 \
@@ -190,7 +192,6 @@ def get_N0_iter(qe_key, nlev_t, nlev_p, beam_fwhm, cls_unl_fid, lmin_ivf, lmax_i
     delcls_fid, delcls_true = [], []
     N0_unbiased = np.inf
 
-    _, cldd_fid0 = cls2dls(cls_unl_fid)
     cls_len_fid = _lencls(cls_unl_fid, cldd_fid0)
     if cls_unl_dat is None:
         cls_unl_dat = cls_unl_fid

@@ -1,0 +1,53 @@
+"""Forecast-layer physics: iterative N0 improvement, patchy noise-level splitting,
+frequency-weighted variance maps."""
+import os
+import numpy as np
+
+import plancklens_tpu
+from plancklens_tpu.utils import camb_clfile
+from plancklens_tpu.ops.sht import gl_geometry
+from plancklens_tpu.models import n0s
+from plancklens_tpu.models.patchy import mk_patches
+from plancklens_tpu.models.freq_weighting import vmaps2vmap_I
+
+
+def test_n0_iter_decreases():
+    # iterative delensing must lower the lensing reconstruction noise monotonically
+    unl = camb_clfile(os.path.join(plancklens_tpu.DATAPATH, 'cls',
+                                   'FFP10_wdipole_lenspotentialCls.dat'), lmax=400)
+    N0sb, N0su = n0s.get_N0_iter('p_p', 1.0, 1.4, 2.0, unl, 30, 350, 3)
+    N0su = np.asarray(N0su)
+    sel = slice(20, 200)
+    for it in range(1, N0su.shape[0]):
+        assert np.all(N0su[it][sel] <= N0su[it - 1][sel] * (1. + 1e-10)), it
+    # first iteration is a substantial improvement at these deep noise levels
+    assert np.median(N0su[1][sel] / N0su[0][sel]) < 0.9
+
+
+def test_patchy_two_level_split():
+    geom = gl_geometry(64)
+    z = np.cos(geom.theta)[:, None]
+    omega = np.outer(geom.weight, np.full(geom.nphi, 2 * np.pi / geom.nphi))
+    nl = np.where(z > 0, 20., 40.) * np.ones_like(omega)
+    ivmap = omega / (nl / 60. / 180. * np.pi) ** 2
+    nlevs, nlevs_dat, nlev_fid, fskies = mk_patches(2, ivmap.ravel(), omega.ravel())
+    assert np.allclose(nlevs, [20., 40.])
+    assert np.allclose(fskies, [0.5, 0.5], atol=0.02)
+
+
+def test_freq_weighting_variance_map():
+    # (a) averaging two identical-noise frequencies with half weights halves the variance;
+    # (b) a flat band-limited weight gives variance sum_l (2l+1) w_l^2 / (4 pi) * Omega_pix
+    lmax = 64
+    geom = gl_geometry(2 * lmax)
+    z = np.cos(geom.theta)[:, None]
+    V = (2. + z + 0.3 * z ** 2) * np.ones((geom.nrings, geom.nphi))
+    w = np.ones(lmax + 1)
+    v1 = vmaps2vmap_I([V], [w], geom)
+    v2 = vmaps2vmap_I([V, V], [w * .5, w * .5], geom)
+    assert np.allclose(v2, 0.5 * v1, rtol=1e-6)
+    omega = np.outer(geom.weight, np.full(geom.nphi, 2 * np.pi / geom.nphi))
+    expect = np.sum((2 * np.arange(lmax + 1) + 1.) * w ** 2) / (4. * np.pi) \
+        * np.mean(omega) * V
+    r = v1[5:-5] / expect[5:-5]
+    assert np.abs(r - 1.).max() < 0.02, (r.min(), r.max())
