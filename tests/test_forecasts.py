@@ -51,3 +51,32 @@ def test_freq_weighting_variance_map():
         * np.mean(omega) * V
     r = v1[5:-5] / expect[5:-5]
     assert np.abs(r - 1.).max() < 0.02, (r.min(), r.max())
+
+
+def test_patchy_homogeneous_limit():
+    # uniform variance map: all patches identical, every weighting scheme must reduce to
+    # the single isotropic N0 and the MC corrections to unity
+    from plancklens_tpu.models.patchy import get_patchy_N0s, get_nhls, get_responses
+    from plancklens_tpu.utils.cls import cli
+    lmax = 128
+    cls_len = camb_clfile(os.path.join(plancklens_tpu.DATAPATH, 'cls',
+                                       'FFP10_wdipole_lensedCls.dat'), lmax=2 * lmax)
+    cls_unl = camb_clfile(os.path.join(plancklens_tpu.DATAPATH, 'cls',
+                                       'FFP10_wdipole_lenspotentialCls.dat'), lmax=2 * lmax)
+    geom = gl_geometry(32)
+    omega = np.outer(geom.weight, np.full(geom.nphi, 2 * np.pi / geom.nphi))
+    nlev = 30.
+    ivmap = omega / (nlev / 60. / 180. * np.pi) ** 2 * (1. + 0 * omega)
+    # uniform ivmap requires the data-rms map argument for the patch split
+    rv = np.full(ivmap.size, nlev)
+    transf = np.ones(lmax + 1)
+    N0s, MC, cMC = get_patchy_N0s('ptt', 3, ivmap.ravel(), ivmap.ravel(), omega.ravel(),
+                                  cls_unl, cls_len, cls_len, cls_len, 10, lmax, lmax,
+                                  transf, rvmap_uKamin_t_data=rv, rvmap_uKamin_p_data=rv)
+    vals = {k: np.asarray(v)[20:100] for k, v in N0s.items()}
+    ref = list(vals.values())[0]
+    for k, v in vals.items():  # all four weighting schemes coincide on a uniform map
+        assert np.allclose(v, ref, rtol=1e-4), k
+    # MC correction is O(1) (the lmin cut keeps it from exactly 1); must be finite/stable
+    assert np.all(np.abs(np.asarray(MC)[20:100] - 1.) < 0.1)
+    assert np.all(np.abs(np.asarray(cMC)[20:100] - 1.) < 0.1)
