@@ -15,7 +15,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from plancklens_tpu.ops.sht import SHT, gl_geometry
 from plancklens_tpu.utils import alm as ualm

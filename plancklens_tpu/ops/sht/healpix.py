@@ -19,7 +19,6 @@ inverse, exactly as in the reference pipeline.
 import numpy as np
 import jax
 import jax.numpy as jnp
-from functools import partial
 
 from ...utils import alm as ualm
 from .core import legendre_synth, legendre_anal

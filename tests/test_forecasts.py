@@ -56,8 +56,7 @@ def test_freq_weighting_variance_map():
 def test_patchy_homogeneous_limit():
     # uniform variance map: all patches identical, every weighting scheme must reduce to
     # the single isotropic N0 and the MC corrections to unity
-    from plancklens_tpu.models.patchy import get_patchy_N0s, get_nhls, get_responses
-    from plancklens_tpu.utils.cls import cli
+    from plancklens_tpu.models.patchy import get_patchy_N0s
     lmax = 128
     cls_len = camb_clfile(os.path.join(plancklens_tpu.DATAPATH, 'cls',
                                        'FFP10_wdipole_lensedCls.dat'), lmax=2 * lmax)
