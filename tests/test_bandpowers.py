@@ -90,3 +90,30 @@ def test_semianalytic_nhl_of_data():
     nhl_dat = binner.get_dat_nhl()
     mcn0 = binner.get_mcn0()
     assert np.all(np.abs(nhl_dat / mcn0 - 1.) < 0.5), nhl_dat / mcn0
+
+
+def test_ps_and_mc_corrections():
+    """Point-source 4-point pieces and additive/multiplicative MC corrections execute on
+    the Gaussian fixture with sane magnitudes (no lensing: bmmc ~ 1, bamc ~ 0 within MC)."""
+    binner = Binner('ptt', 'ptt', PF, '8_25_45_64', lmaxphi=LMAX)
+    band_dat, band_check, band_syst, sim_stats, Cs2s2, pp_cl_ps = \
+        binner.get_ps_data(lmin_ss_s4=10, lmax_ss_s4=LMAX)
+    for v in (band_dat, band_check, band_syst):
+        assert np.isfinite(v), (band_dat, band_check, band_syst)
+    assert np.all(np.isfinite(pp_cl_ps))
+    # data band is typical of the sim distribution (Gaussian fixture: no real sources)
+    ssig = np.std(sim_stats)
+    assert abs(band_dat - np.mean(sim_stats)) < 5 * ssig
+    bamc, bamc_err = binner.get_bamc()
+    assert np.all(np.isfinite(bamc)) and np.all(bamc_err > 0)
+    bmmc = binner.get_bmmc()
+    assert np.all(np.isfinite(bmmc))
+    # additive and multiplicative corrections are two views of the same
+    # <dd - 2ss> - prediction mean: bamc == (1/bmmc - 1) * fid up to the ss-split
+    # (ss2 uses half the sims in get_bamc) and per-sim scatter
+    implied = (1. / bmmc - 1.) * binner.fid_bandpowers
+    assert np.all(np.abs(bamc - implied) < 5 * bamc_err + 0.3 * np.abs(implied)), \
+        (bamc, implied, bamc_err)
+    cov = binner.get_nhl_cov()
+    assert cov.shape == (binner.nbins, binner.nbins)
+    assert np.all(np.isfinite(cov)) and np.all(np.diag(cov) > 0)
