@@ -663,10 +663,15 @@ def make_multigrid_pre_op(geom, ninv, b_transf, cltt, lmax, stage_lmaxs, stage_i
     a few fixed PCG iterations, preconditioned by the next stage; the innermost stage uses
     the dense low-l block. Returns a pre_op for the full-resolution system.
 
-    Status: experimental. In the configurations benchmarked so far the default
-    split(dense low-l, diagonal) preconditioner of CinvT converges faster; this chain is
-    provided for structural parity with the reference and for large-lmax regimes where a
-    dense block cannot reach the transition scale.
+    Modes above stage_lmaxs[0] are handled by the full-resolution diagonal (the top
+    stage is a split, as in the reference chain — a coarse-only preconditioner would be
+    singular for the fine modes).
+
+    Status: structurally correct but NOT the recommended preconditioner — in every
+    benchmarked configuration (e.g. masked lmax 96, stages [64, 48]) plain diag and
+    split(dense, diag) reach a lower residual in the same iteration count at a fraction
+    of the per-iteration cost; provided for parity with the reference chain and for
+    very-large-lmax regimes.
     """
     from ..ops.sht import gl_geometry
 
@@ -695,4 +700,10 @@ def make_multigrid_pre_op(geom, ninv, b_transf, cltt, lmax, stage_lmaxs, stage_i
 
         return pre_op
 
-    return build(0)
+    chain = build(0)
+    if stage_lmaxs[0] >= lmax:
+        return chain
+    filt_top = NinvFilterT(geom, ninv, b_transf[:lmax + 1],
+                           marge_monopole=marge_monopole, marge_dipole=marge_dipole)
+    _, _, diag_top, _ = filt_top.make_ops(lmax, cltt)
+    return split_pre_op(chain, diag_top, stage_lmaxs[0], lmax)

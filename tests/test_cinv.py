@@ -189,3 +189,39 @@ def test_cinv_tp_homogeneous_matches_jtp_isotropic():
     for got, exp in zip([np.asarray(bt)[0], np.asarray(be)[0], np.asarray(bb_)[0]], expect):
         err = np.abs(got[sel] - exp[sel]).max() / np.abs(exp[sel]).max()
         assert err < 1e-3, err
+
+
+def test_multigrid_pre_op_structurally_sound():
+    """The multigrid chain must be non-singular across the full band (high-l modes get
+    the top-stage diagonal) and accelerate CG over no preconditioning."""
+    from plancklens_tpu.models.cinv import NinvFilterT, make_multigrid_pre_op
+    from plancklens_tpu.ops import cg
+    import jax.numpy as jnp
+    lmax = 48
+    cls = _cls() if lmax == LMAX else camb_clfile(os.path.join(
+        plancklens_tpu.DATAPATH, 'cls', 'FFP10_wdipole_lensedCls.dat'), lmax=lmax)
+    geom = gl_geometry(lmax)
+    sht = SHT(geom, lmax)
+    omega = np.outer(geom.weight, np.full(geom.nphi, 2 * np.pi / geom.nphi))
+    sig_pix = (30. / 60. / 180. * np.pi) / np.sqrt(omega)
+    rng = np.random.RandomState(3)
+    ninv = (1. / sig_pix ** 2) * (np.abs(np.cos(geom.theta))[:, None] > 0.2)
+    transf = np.ones(lmax + 1)
+    filt = NinvFilterT(geom, ninv, transf)
+    fwd, prep, diag, _ = filt.make_ops(lmax, cls['tt'])
+    mg = make_multigrid_pre_op(geom, ninv, transf, cls['tt'], lmax, [32], [3],
+                               lmax_dense=16)
+    ls, ms = ualm._lm_indices(lmax)
+    # non-singular above the coarse stage: a pure l=45 vector maps to a nonzero vector
+    r = jnp.asarray(np.where(ls == 45, 1. + 0j, 0.))[None, :]
+    out = np.asarray(mg(r))
+    assert np.abs(out).max() > 0.
+    # preconditioned CG beats identity-preconditioned CG at equal iterations
+    tmap = np.asarray(sht.alm2map(jnp.asarray(
+        np.random.RandomState(4).standard_normal(ualm.getsize(lmax)) + 0j)))
+    b = prep(tmap[None])
+    ms_j = jnp.asarray(ms)
+    _, _, rel_mg = cg.pcg(fwd, mg, b, jnp.zeros_like(b), 25, 1e-12, ms_j)
+    _, _, rel_id = cg.pcg(fwd, lambda x: x, b, jnp.zeros_like(b), 25, 1e-12, ms_j)
+    assert float(np.asarray(rel_mg).max()) < float(np.asarray(rel_id).max()), \
+        (np.asarray(rel_mg), np.asarray(rel_id))
