@@ -149,46 +149,70 @@ def dls2cls(dls):
 
 def get_N0_iter(qe_key, nlev_t, nlev_p, beam_fwhm, cls_unl_fid, lmin_ivf, lmax_ivf,
                 itermax, cls_unl_dat=None, lmax_qlm=None, ret_delcls=False,
-                datnoise_cls=None, unlQE=False):
-    """Iterative (MAP-estimator forecast) lensing N0 (reference: plancklens/nhl.py:217-397).
+                datnoise_cls=None, unlQE=False, rho_sqd_ext=0., filter_E=False,
+                ret_curl=False):
+    """Iterative (MAP-estimator forecast) lensing N0 (reference: plancklens/n0s.py:236-448).
 
     Iteratively computes partially-delensed spectra and the corresponding N0; the partially
     lensed spectra come from the built-in correlation-function lensed_cls operator
     (ops/lensed_cls) instead of the camb dependency of the reference.
 
-    Returns (N0s_biased, N0s_unbiased) arrays of shape (itermax+1, lmax_qlm+1)
-    [+ (delcls_fid, delcls_true) with ret_delcls].
+    Args beyond the obvious:
+        lmin_ivf / lmax_ivf: scalars, or dicts keyed by 't','e','b' for per-field cuts
+        cls_unl_dat: true sky spectra when different from the fiducial
+        datnoise_cls: custom data noise spectra (the nlevs then only enter the filter)
+        unlQE: weight/filter with unlensed instead of (partially) lensed spectra
+        rho_sqd_ext: squared cross-correlation of an external tracer used for additional
+            delensing (scalar or array over L); rho -> 1 means the tracer removes all
+            lensing not already removed internally
+        filter_E: linear delensing — subtract the B-template built from Wiener-filtered
+            *lensed* E (imperfect knowledge of E), instead of assuming E known perfectly
+        ret_curl: also return the curl-mode N0s
+
+    Returns (N0s_biased, N0s_unbiased[, N0s_unbiased_curl, N0s_biased_curl]
+    [, delcls_fid, delcls_true]); N0 arrays have shape (itermax+1, lmax_qlm+1).
     """
     from ..ops.lensed_cls import lensed_cls as _lensed_cls
     from . import nhl as nhl_mod
     assert qe_key in ['p_p', 'p', 'ptt'], qe_key
+    lmaxs = lmax_ivf if isinstance(lmax_ivf, dict) else {s: lmax_ivf for s in 'teb'}
+    lmins = lmin_ivf if isinstance(lmin_ivf, dict) else \
+        {s: max(lmin_ivf, 1) for s in 'teb'}
+    lmax_ivf = max(lmaxs.values())
 
-    def _lencls(cls_unl_dict, cldd):
-        lmaxp = len(cldd) - 1
-        wpp = cli(np.arange(lmaxp + 1) ** 2 * np.arange(1, lmaxp + 2, dtype=float) ** 2
-                  / (2. * np.pi))
-        clpp = cldd * wpp
-        out = _lensed_cls(cls_unl_dict, clpp, lmax_out=min(
-            len(cls_unl_dict['tt']) - 1, lmax_ivf + 500))
-        return out
+    def _d2p(cldd):
+        """D-convention deflection spectrum -> C_L^pp."""
+        lp = np.arange(len(cldd), dtype=float)
+        return cldd * cli(lp ** 2 * (lp + 1.) ** 2 / (2. * np.pi))
+
+    def _lencls(cls_unl_dict, cldd, delta=False):
+        return _lensed_cls(cls_unl_dict, _d2p(cldd), delta_cls=delta,
+                           lmax_out=min(len(cls_unl_dict['tt']) - 1, lmax_ivf + 500))
 
     _, cldd_fid0 = cls2dls(cls_unl_fid)
     if lmax_qlm is None:
         lmax_qlm = 2 * lmax_ivf
     # the iteration needs the deflection spectrum up to lmax_qlm
     lmax_qlm = min(lmax_qlm, 2 * lmax_ivf, len(cldd_fid0) - 1)
-    lmin_ivf = max(lmin_ivf, 1)
     transfi2 = cli(gauss_beam(beam_fwhm, lmax_ivf)) ** 2
     llp2 = np.arange(lmax_qlm + 1, dtype=float) ** 2 \
         * np.arange(1, lmax_qlm + 2, dtype=float) ** 2 / (2. * np.pi)
+    nlev_p = np.atleast_1d(np.asarray(nlev_p, dtype=float))
+    if nlev_p.ndim == 2 and nlev_p.shape[0] == 2:
+        nlev_e, nlev_b = nlev_p[0], nlev_p[1]
+    else:
+        nlev_e = nlev_b = nlev_p.squeeze()
+    if not np.isscalar(rho_sqd_ext):
+        rho_sqd_ext = np.asarray(rho_sqd_ext)[:lmax_qlm + 1]
     if datnoise_cls is None:
         datnoise_cls = dict()
         if qe_key in ['ptt', 'p']:
             datnoise_cls['tt'] = (nlev_t * np.pi / 180. / 60.) ** 2 * transfi2
         if qe_key in ['p_p', 'p']:
-            datnoise_cls['ee'] = (nlev_p * np.pi / 180. / 60.) ** 2 * transfi2
-            datnoise_cls['bb'] = (nlev_p * np.pi / 180. / 60.) ** 2 * transfi2
+            datnoise_cls['ee'] = (nlev_e * np.pi / 180. / 60.) ** 2 * transfi2
+            datnoise_cls['bb'] = (nlev_b * np.pi / 180. / 60.) ** 2 * transfi2
     N0s_biased, N0s_unbiased = [], []
+    N0s_biased_cc, N0s_unbiased_cc = [], []
     delcls_fid, delcls_true = [], []
     N0_unbiased = np.inf
 
@@ -199,21 +223,47 @@ def get_N0_iter(qe_key, nlev_t, nlev_p, beam_fwhm, cls_unl_fid, lmin_ivf, lmax_i
     else:
         _, cldd_true0 = cls2dls(cls_unl_dat)
         cls_len_true = _lencls(cls_unl_dat, cldd_true0)
+    cls_plen_true = cls_len_true
 
     for it in range(itermax + 1):
         _, cldd_true = cls2dls(cls_unl_dat)
         _, cldd_fid = cls2dls(cls_unl_fid)
         if it == 0:
-            rho_sqd_phi = 0.
+            rho_sqd_phi = rho_sqd_ext
         else:
+            # resolved lensing fraction; the external tracer keeps delensing the part the
+            # internal estimate misses (reference: plancklens/n0s.py:357-362)
             rho_sqd_phi = np.zeros(len(cldd_true))
-            rho_sqd_phi[:lmax_qlm + 1] = cldd_true[:lmax_qlm + 1] * cli(
-                cldd_true[:lmax_qlm + 1] + llp2 * N0_unbiased[:lmax_qlm + 1])
-        cldd_true = cldd_true * (1. - rho_sqd_phi)
-        cldd_fid = cldd_fid * (1. - rho_sqd_phi)
-        cls_plen_fid = _lencls(cls_unl_fid, cldd_fid)
-        cls_plen_true = _lencls(cls_unl_dat, cldd_true) if cls_unl_dat is not cls_unl_fid \
-            else {k: np.copy(v) for k, v in cls_plen_fid.items()}
+            N0_now = llp2 * N0_unbiased[:lmax_qlm + 1]
+            rho_sqd_phi[:lmax_qlm + 1] = \
+                ((1. - rho_sqd_ext) * cldd_true[:lmax_qlm + 1] + rho_sqd_ext * N0_now) \
+                * cli((1. - rho_sqd_ext) * cldd_true[:lmax_qlm + 1] + N0_now)
+
+        if filter_E:
+            # linear delensing with the B-template from Wiener-filtered lensed E: only the
+            # rho_E-weighted part of E contributes to the removable lensing B power
+            assert qe_key in ['p_p'], 'filter_E is a polarisation-delensing option'
+            sl = slice(lmins['e'], lmaxs['e'] + 1)
+            rho_sqd_E = np.zeros(len(cls_unl_dat['ee']))
+            rho_sqd_E[sl] = cls_unl_dat['ee'][sl] \
+                * cli(cls_plen_true['ee'][sl] + datnoise_cls['ee'][sl])
+            unl_fid_wf = dict(cls_unl_fid)
+            unl_fid_wf['ee'] = cls_unl_fid['ee'] * rho_sqd_E[:len(cls_unl_fid['ee'])]
+            unl_true_wf = dict(cls_unl_dat)
+            unl_true_wf['ee'] = cls_unl_dat['ee'] * rho_sqd_E[:len(cls_unl_dat['ee'])]
+            dfid = _lencls(unl_fid_wf, cldd_fid * rho_sqd_phi, delta=True)
+            dtrue = _lencls(unl_true_wf, cldd_true * rho_sqd_phi, delta=True)
+            cldd_fid = cldd_fid * (1. - rho_sqd_phi)
+            cldd_true = cldd_true * (1. - rho_sqd_phi)
+            cls_plen_fid = {k: cls_len_fid[k] - dfid[k] for k in dfid}
+            cls_plen_true = {k: cls_len_true[k] - dtrue[k] for k in dtrue}
+        else:
+            cldd_true = cldd_true * (1. - rho_sqd_phi)
+            cldd_fid = cldd_fid * (1. - rho_sqd_phi)
+            cls_plen_fid = _lencls(cls_unl_fid, cldd_fid)
+            cls_plen_true = _lencls(cls_unl_dat, cldd_true) \
+                if cls_unl_dat is not cls_unl_fid \
+                else {k: np.copy(v) for k, v in cls_plen_fid.items()}
 
         cls_filt = cls_plen_fid if not unlQE else cls_unl_fid
         cls_w = cls_plen_fid if not unlQE else cls_unl_fid
@@ -225,19 +275,23 @@ def get_N0_iter(qe_key, nlev_t, nlev_p, beam_fwhm, cls_unl_fid, lmin_ivf, lmax_i
             dat_delcls['tt'] = cls_plen_true['tt'][:lmax_ivf + 1] + datnoise_cls['tt']
         if qe_key in ['p_p', 'p']:
             fal['ee'] = cls_filt['ee'][:lmax_ivf + 1] \
-                + (nlev_p * np.pi / 180. / 60.) ** 2 * transfi2
+                + (nlev_e * np.pi / 180. / 60.) ** 2 * transfi2
             fal['bb'] = cls_filt['bb'][:lmax_ivf + 1] \
-                + (nlev_p * np.pi / 180. / 60.) ** 2 * transfi2
+                + (nlev_b * np.pi / 180. / 60.) ** 2 * transfi2
             dat_delcls['ee'] = cls_plen_true['ee'][:lmax_ivf + 1] + datnoise_cls['ee']
             dat_delcls['bb'] = cls_plen_true['bb'][:lmax_ivf + 1] + datnoise_cls['bb']
         if qe_key in ['p']:
             fal['te'] = np.copy(cls_filt['te'][:lmax_ivf + 1])
             dat_delcls['te'] = np.copy(cls_plen_true['te'][:lmax_ivf + 1])
+        for spec in fal:
+            fal[spec][min(lmaxs[spec[0]], lmaxs[spec[1]]) + 1:] *= 0.
+        for spec in dat_delcls:
+            dat_delcls[spec][min(lmaxs[spec[0]], lmaxs[spec[1]]) + 1:] *= 0.
         fal = cl_inverse(fal)
-        for cl in fal.values():
-            cl[:lmin_ivf] *= 0.
-        for cl in dat_delcls.values():
-            cl[:lmin_ivf] *= 0.
+        for spec, cl in fal.items():
+            cl[:max(lmins[spec[0]], lmins[spec[1]])] *= 0.
+        for spec, cl in dat_delcls.items():
+            cl[:max(lmins[spec[0]], lmins[spec[1]])] *= 0.
         cls_ivfs_arr = cls_dot([fal, dat_delcls, fal])
         cls_ivfs = dict()
         for i, a in enumerate(['t', 'e', 'b']):
@@ -245,25 +299,27 @@ def get_N0_iter(qe_key, nlev_t, nlev_p, beam_fwhm, cls_unl_fid, lmin_ivf, lmax_i
                 if np.any(cls_ivfs_arr[i, j + i]):
                     cls_ivfs[a + b] = cls_ivfs_arr[i, j + i]
 
-        n_gg = nhl_mod.get_nhl(qe_key, qe_key, cls_w, cls_ivfs, lmax_ivf, lmax_ivf,
-                               lmax_out=lmax_qlm)[0]
-        r_gg_true = qresp.get_response(qe_key, lmax_ivf, 'p', cls_w, cls_f, fal,
-                                       lmax_qlm=lmax_qlm)[0]
-        r_gg_fid = r_gg_true if cls_f is cls_w else \
+        n_gg, n_cc = nhl_mod.get_nhl(qe_key, qe_key, cls_w, cls_ivfs, lmax_ivf, lmax_ivf,
+                                     lmax_out=lmax_qlm)[:2]
+        r_gg_true, r_cc_true = qresp.get_response(qe_key, lmax_ivf, 'p', cls_w, cls_f, fal,
+                                                  lmax_qlm=lmax_qlm)[:2]
+        r_gg_fid, r_cc_fid = (r_gg_true, r_cc_true) if cls_f is cls_w else \
             qresp.get_response(qe_key, lmax_ivf, 'p', cls_w, cls_w, fal,
-                               lmax_qlm=lmax_qlm)[0]
+                               lmax_qlm=lmax_qlm)[:2]
         N0_biased = n_gg * cli(r_gg_fid ** 2)
         N0_unbiased = n_gg * cli(r_gg_true ** 2)
         N0s_biased.append(N0_biased)
         N0s_unbiased.append(N0_unbiased)
-        wp_i = cli(np.arange(len(cldd_true)) ** 2
-                   * np.arange(1, len(cldd_true) + 1, dtype=float) ** 2 / (2. * np.pi))
-        cls_plen_true['pp'] = cldd_true * wp_i
-        cls_plen_fid['pp'] = cldd_fid * wp_i
+        N0s_biased_cc.append(n_cc * cli(r_cc_fid ** 2))
+        N0s_unbiased_cc.append(n_cc * cli(r_cc_true ** 2))
+        cls_plen_true['pp'] = _d2p(cldd_true)
+        cls_plen_fid['pp'] = _d2p(cldd_fid)
         delcls_fid.append(cls_plen_fid)
         delcls_true.append(cls_plen_true)
 
     ret = (np.array(N0s_biased), np.array(N0s_unbiased))
+    if ret_curl:
+        ret = ret + (np.array(N0s_unbiased_cc), np.array(N0s_biased_cc))
     if ret_delcls:
         ret = ret + (delcls_fid, delcls_true)
     return ret

@@ -1,13 +1,16 @@
 r"""Semi-analytic Gaussian noise biases (unnormalised N0).
 
 N0 for the cross-spectrum of two QEs from Wigner-space contractions of the QE weights with
-the inverse-variance-filtered CMB spectra (reference: plancklens/nhl.py:15-97). Each
-contraction is a batched matmul against cached Wigner-d matrices.
+the inverse-variance-filtered CMB spectra (math: plancklens/nhl.py:15-97 and
+arXiv:1807.06210 App. A). Each QE-term pair contributes four Wick pairings (direct, crossed,
+and their spin-reflected mirrors); all pairings of all term pairs are assembled into one
+spec list and evaluated by a single `wignerc_stack` call — a few stacked GEMMs against
+cached Wigner-d matrices instead of one host round-trip per contraction.
 """
 import numpy as np
 
 from ..utils.cls import joincls
-from ..ops.wigner import wignerc
+from ..ops.wigner import wignerc_stack
 from . import spin as uspin
 from . import qresp
 
@@ -31,62 +34,60 @@ def get_nhl(qe_key1, qe_key2, cls_weights, cls_ivfs, lmax_ivf1, lmax_ivf2,
                     cls_ivfs_ab=cls_ivfs_ab, cls_ivfs_ba=cls_ivfs_ba)
 
 
+def _wick_line(leg1, leg2, cls, mirror=False):
+    """One Wick line joining a leg of QE A with a (conjugated) leg of QE B: the joint
+    spectrum and the two position-space spins of the contraction. With `mirror`, leg 1 is
+    reflected onto its (-s) spin component (parity sign included in the spectrum)."""
+    if mirror:
+        sgn = (-1) ** (leg1.spin_in + leg1.spin_ou)
+        cl = sgn * joincls([np.conj(leg1.cl), np.conj(leg2.cl),
+                            uspin.spin_cls(-leg1.spin_in, leg2.spin_in, cls)])
+        return cl, -leg1.spin_ou, leg2.spin_ou
+    cl = joincls([leg1.cl, np.conj(leg2.cl),
+                  uspin.spin_cls(leg1.spin_in, leg2.spin_in, cls)])
+    return cl, leg1.spin_ou, leg2.spin_ou
+
+
 def _get_nhl(qes1, qes2, cls_ivfs, lmax_out, cls_ivfs_bb=None, cls_ivfs_ab=None,
              cls_ivfs_ba=None, ret_terms=False):
-    """Wick contractions of the QE 4-point function (reference: plancklens/nhl.py:45-97)."""
-    GG = np.zeros(lmax_out + 1, dtype=float)
-    CC = np.zeros(lmax_out + 1, dtype=float)
-    GC = np.zeros(lmax_out + 1, dtype=float)
-    CG = np.zeros(lmax_out + 1, dtype=float)
+    """Wick contractions of the QE 4-point function, batched
+    (math as reference plancklens/nhl.py:45-97)."""
     cls_aa = cls_ivfs
     cls_bb = cls_ivfs if cls_ivfs_bb is None else cls_ivfs_bb
     cls_ab = cls_ivfs if cls_ivfs_ab is None else cls_ivfs_ab
     cls_ba = cls_ivfs if cls_ivfs_ba is None else cls_ivfs_ba
-    terms = []
     Ls = np.arange(lmax_out + 1)
-    for qe1 in qes1:
-        cL1 = qe1.cL(Ls)
-        for qe2 in qes2:
-            cL2 = qe2.cL(Ls)
-            si, ti, ui, vi = (qe1.leg_a.spin_in, qe1.leg_b.spin_in,
-                              qe2.leg_a.spin_in, qe2.leg_b.spin_in)
-            so, to, uo, vo = (qe1.leg_a.spin_ou, qe1.leg_b.spin_ou,
-                              qe2.leg_a.spin_ou, qe2.leg_b.spin_ou)
-            assert so + to >= 0 and uo + vo >= 0, (so, to, uo, vo)
 
-            clsu = joincls([qe1.leg_a.cl, np.conj(qe2.leg_a.cl), uspin.spin_cls(si, ui, cls_aa)])
-            cltv = joincls([qe1.leg_b.cl, np.conj(qe2.leg_b.cl), uspin.spin_cls(ti, vi, cls_bb)])
-            R_sutv = joincls([wignerc(clsu, cltv, so, uo, to, vo, lmax_out=lmax_out), cL1, cL2])
+    specs, pair_meta = [], []
+    for q1 in qes1:
+        for q2 in qes2:
+            assert q1.leg_a.spin_ou + q1.leg_b.spin_ou >= 0
+            assert q2.leg_a.spin_ou + q2.leg_b.spin_ou >= 0
+            for mirror in (False, True):
+                for lx, ly, cls_x, cls_y in [
+                        (q2.leg_a, q2.leg_b, cls_aa, cls_bb),   # direct pairing
+                        (q2.leg_b, q2.leg_a, cls_ab, cls_ba)]:  # crossed pairing
+                    cl_1, sp1, s1 = _wick_line(q1.leg_a, lx, cls_x, mirror=mirror)
+                    cl_2, sp2, s2 = _wick_line(q1.leg_b, ly, cls_y, mirror=mirror)
+                    specs.append((cl_1, (sp1, s1), cl_2, (sp2, s2)))
+            pair_meta.append(((-1) ** (q1.leg_a.spin_ou + q1.leg_b.spin_ou),
+                              q1.cL(Ls) * q2.cL(Ls)))
 
-            clsv = joincls([qe1.leg_a.cl, np.conj(qe2.leg_b.cl), uspin.spin_cls(si, vi, cls_ab)])
-            cltu = joincls([qe1.leg_b.cl, np.conj(qe2.leg_a.cl), uspin.spin_cls(ti, ui, cls_ba)])
-            R_sutv = R_sutv + joincls([wignerc(clsv, cltu, so, vo, to, uo, lmax_out=lmax_out),
-                                       cL1, cL2])
-
-            # (-s, -t) contractions
-            sgnms = (-1) ** (si + so)
-            sgnmt = (-1) ** (ti + to)
-            clsu = joincls([sgnms * np.conj(qe1.leg_a.cl), np.conj(qe2.leg_a.cl),
-                            uspin.spin_cls(-si, ui, cls_aa)])
-            cltv = joincls([sgnmt * np.conj(qe1.leg_b.cl), np.conj(qe2.leg_b.cl),
-                            uspin.spin_cls(-ti, vi, cls_bb)])
-            R_msmtuv = joincls([wignerc(clsu, cltv, -so, uo, -to, vo, lmax_out=lmax_out),
-                                cL1, cL2])
-
-            clsv = joincls([sgnms * np.conj(qe1.leg_a.cl), np.conj(qe2.leg_b.cl),
-                            uspin.spin_cls(-si, vi, cls_ab)])
-            cltu = joincls([sgnmt * np.conj(qe1.leg_b.cl), np.conj(qe2.leg_a.cl),
-                            uspin.spin_cls(-ti, ui, cls_ba)])
-            R_msmtuv = R_msmtuv + joincls([wignerc(clsv, cltu, -so, vo, -to, uo,
-                                                   lmax_out=lmax_out), cL1, cL2])
-
-            sgn = (-1) ** (to + so)
-            GG += 0.5 * R_sutv.real + 0.5 * sgn * R_msmtuv.real
-            CC += 0.5 * R_sutv.real - 0.5 * sgn * R_msmtuv.real
-            GC -= 0.5 * np.imag(R_sutv) + 0.5 * sgn * np.imag(R_msmtuv)
-            CG += 0.5 * np.imag(R_sutv) - 0.5 * sgn * np.imag(R_msmtuv)
-            if ret_terms:
-                terms += [0.5 * R_sutv, 0.5 * sgn * R_msmtuv]
+    GG = np.zeros(lmax_out + 1, dtype=float)
+    CC = np.zeros(lmax_out + 1, dtype=float)
+    GC = np.zeros(lmax_out + 1, dtype=float)
+    CG = np.zeros(lmax_out + 1, dtype=float)
+    terms = []
+    res = wignerc_stack(specs, lmax_out)
+    for i, (sgn, cLw) in enumerate(pair_meta):
+        direct = (res[4 * i] + res[4 * i + 1]) * cLw
+        mirrored = (res[4 * i + 2] + res[4 * i + 3]) * cLw
+        GG += 0.5 * direct.real + 0.5 * sgn * mirrored.real
+        CC += 0.5 * direct.real - 0.5 * sgn * mirrored.real
+        GC -= 0.5 * np.imag(direct) + 0.5 * sgn * np.imag(mirrored)
+        CG += 0.5 * np.imag(direct) - 0.5 * sgn * np.imag(mirrored)
+        if ret_terms:
+            terms += [0.5 * direct, 0.5 * sgn * mirrored]
     return (GG, CC, GC, CG) if not ret_terms else (GG, CC, GC, CG, terms)
 
 

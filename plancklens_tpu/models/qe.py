@@ -2,9 +2,10 @@ r"""Symbolic quadratic-estimator representation.
 
 A QE is a sum of terms; each term is a pair of *legs* acting on the inverse-variance
 filtered spin-weighted CMB fields, multiplied pointwise on the sphere, analysed at spin
-(spin_out_a + spin_out_b), and scaled by an output weight cL. This mirrors the reference's
-symbolic layer (reference: plancklens/utils_qe.py:5-226) — the evaluation backend here is the
-TPU SHT engine instead of healpy.
+(spin_out_a + spin_out_b), and scaled by an output weight cL. Same capability surface as the
+reference's symbolic layer (reference: plancklens/utils_qe.py:5-226); term algebra here is
+hash-grouping over canonical leg keys (one pass) rather than pairwise scans, and evaluation
+is backed by the TPU SHT engine.
 """
 import numpy as np
 
@@ -81,89 +82,107 @@ class qe:
         return self.leg_b.get_lmax()
 
 
-def qe_simplify(qe_list, _swap=False, verbose=False):
-    """Co-add terms with identical first legs and compatible second legs; drop zero terms
-    (reference behaviour: plancklens/utils_qe.py:179-204)."""
-    skip = []
-    qes_ret = []
-    qes = [qe(q.leg_b.copy(), q.leg_a.copy(), q.cL) for q in qe_list] if _swap else qe_list
-    for i, qe1 in enumerate(qes):
-        if i in skip:
-            continue
-        leg_a = qe1.leg_a.copy()
-        leg_b = qe1.leg_b.copy()
-        for j, qe2 in enumerate(qes[i + 1:]):
-            if qe2.leg_a == leg_a and qe2.leg_b.spin_in == qe1.leg_b.spin_in \
-                    and qe2.leg_b.spin_ou == qe1.leg_b.spin_ou:
-                Ls = np.arange(max(qe1.leg_b.get_lmax(), qe2.leg_b.get_lmax()) + 1)
-                if np.all(qe1.cL(Ls) == qe2.cL(Ls)):
-                    leg_b = leg_b + qe2.leg_b
-                    skip.append(j + i + 1)
-        if np.any(leg_a.cl) and np.any(leg_b.cl):
-            qes_ret.append(qe(leg_a, leg_b, qe1.cL))
-    if verbose and len(skip) > 0:
-        print("qe_simplify: %s terms down from %s" % (len(qes_ret), len(qes)))
-    if not _swap:
-        return qe_simplify(qes_ret, _swap=True, verbose=verbose)
-    return [qe(q.leg_b.copy(), q.leg_a.copy(), q.cL) for q in qes_ret]
+def _leg_key(leg):
+    """Hashable identity of a leg (spins + exact weight array)."""
+    cl = np.ascontiguousarray(leg.cl)
+    return (leg.spin_in, leg.spin_ou, cl.shape[-1], cl.dtype.str, cl.tobytes())
+
+
+def _cl_key(cL, lcmp):
+    """Hashable identity of an output-scaling callable, by its values on 0..lcmp.
+
+    Two distinct functions agreeing on the grid are treated as equal — the grid spans every
+    multipole any merged term can produce, so this is exact for the merge's purposes.
+    """
+    vals = np.ascontiguousarray(np.asarray(cL(np.arange(lcmp + 1)), dtype=float))
+    return vals.tobytes()
+
+
+def qe_simplify(qe_list, verbose=False):
+    """Co-add terms sharing one leg and the output scaling; drop identically-zero terms.
+
+    Single pass per side with a dict keyed on (kept-leg identity, merged-leg spins, cL
+    values): terms in the same bucket have their free legs summed. Equivalent output to the
+    reference's pairwise merge (plancklens/utils_qe.py:179-204); first-seen term order is
+    preserved.
+    """
+    lcmp = 0
+    for q in qe_list:
+        lcmp = max(lcmp, q.get_lmax_a() + q.get_lmax_b())
+
+    def _merge_side(qes, merge_b):
+        buckets = {}
+        order = []
+        for q in qes:
+            kept, free = (q.leg_a, q.leg_b) if merge_b else (q.leg_b, q.leg_a)
+            key = (_leg_key(kept), free.spin_in, free.spin_ou, _cl_key(q.cL, lcmp))
+            if key in buckets:
+                i = buckets[key]
+                if merge_b:
+                    order[i] = qe(order[i].leg_a, order[i].leg_b + free, order[i].cL)
+                else:
+                    order[i] = qe(order[i].leg_a + free, order[i].leg_b, order[i].cL)
+            else:
+                buckets[key] = len(order)
+                order.append(qe(q.leg_a.copy(), q.leg_b.copy(), q.cL))
+        return order
+
+    merged = _merge_side(_merge_side(qe_list, True), False)
+    out = [q for q in merged if np.any(q.leg_a.cl) and np.any(q.leg_b.cl)]
+    if verbose and len(out) != len(qe_list):
+        print("qe_simplify: %s terms down from %s" % (len(out), len(qe_list)))
+    return out
+
+
+def _field_pieces(field, spin):
+    """Decomposition of a spin-`spin` leg onto the single field `field`.
+
+    A spin-0 leg sees only T. A spin-(+-2) leg sees (E +- iB)-type combinations, so
+    restricting it to E keeps the even combination ((s) + (-s))/2 and restricting to B the
+    odd one ((s) - (-s))/2 up to the parity sign. Returns [(new_spin, coeff), ...]
+    (same decomposition as reference plancklens/utils_qe.py:135-176).
+    """
+    if spin == 0:
+        return [(0, 1.)] if field == 't' else []
+    if field == 't':
+        return []
+    return [(spin, 0.5), (-spin, 0.5 if field == 'e' else -0.5)]
 
 
 def qe_proj(qe_list, a, b):
     """Restrict a QE list so the first leg only sees field `a` and the second only `b`
-    (a, b in 't','e','b'); spin-+-2 legs split into (+2, -2) pairs with E/B parity signs
-    (reference behaviour: plancklens/utils_qe.py:135-176)."""
-    assert a in ['t', 'e', 'b'] and b in ['t', 'e', 'b']
-    l_in = [0] if a == 't' else [-2, 2]
-    r_in = [0] if b == 't' else [-2, 2]
-    qes_ret = []
+    (a, b in 't','e','b')."""
+    assert a in 'teb' and b in 'teb'
+    out = []
     for q in qe_list:
-        si, ri = (q.leg_a.spin_in, q.leg_b.spin_in)
-        if si not in l_in or ri not in r_in:
-            continue
-        leg_a = q.leg_a.copy()
-        leg_b = q.leg_b.copy()
-        if si == 0 and ri == 0:
-            qes_ret.append(qe(leg_a, leg_b, q.cL))
-        elif si == 0 and abs(ri) > 0:
-            sgn = 1 if b == 'e' else -1
-            qes_ret.append(qe(leg_a, leg_b * 0.5, q.cL))
-            leg_b.spin_in *= -1
-            qes_ret.append(qe(leg_a, leg_b * 0.5 * sgn, q.cL))
-        elif ri == 0 and abs(si) > 0:
-            sgn = 1 if a == 'e' else -1
-            qes_ret.append(qe(leg_a * 0.5, leg_b, q.cL))
-            leg_a.spin_in *= -1
-            qes_ret.append(qe(leg_a * 0.5 * sgn, leg_b, q.cL))
-        else:
-            sgna = 1 if a == 'e' else -1
-            sgnb = 1 if b == 'e' else -1
-            qes_ret.append(qe(leg_a * 0.5, leg_b * 0.5, q.cL))
-            leg_b.spin_in *= -1
-            qes_ret.append(qe(leg_a * 0.5, leg_b * 0.5 * sgnb, q.cL))
-            leg_a.spin_in *= -1
-            qes_ret.append(qe(leg_a * 0.5 * sgna, leg_b * 0.5 * sgnb, q.cL))
-            leg_b.spin_in *= -1
-            qes_ret.append(qe(leg_a * 0.5 * sgna, leg_b * 0.5, q.cL))
-    return qe_simplify(qes_ret)
+        for sa, wa in _field_pieces(a, q.leg_a.spin_in):
+            for sb, wb in _field_pieces(b, q.leg_b.spin_in):
+                la = qeleg(sa, q.leg_a.spin_ou, q.leg_a.cl * wa)
+                lb = qeleg(sb, q.leg_b.spin_ou, q.leg_b.cl * wb)
+                out.append(qe(la, lb, q.cL))
+    return qe_simplify(out)
 
 
 def qe_compress(qes, verbose=False):
-    """Group terms sharing a first leg so evaluation minimises spin transforms
-    (reference behaviour: plancklens/utils_qe.py:207-226)."""
-    skip = []
-    qes_compressed = []
-    for i, qi in enumerate(qes):
-        if i in skip:
-            continue
-        lega = qi.leg_a
-        lega_m = qeleg_multi([qi.leg_a.spin_in], qi.leg_a.spin_ou, [qi.leg_a.cl])
-        legb_m = qeleg_multi([qi.leg_b.spin_in], qi.leg_b.spin_ou, [qi.leg_b.cl])
-        for j, qj in enumerate(qes[i + 1:]):
-            if qj.leg_a == lega and legb_m.spin_ou == qj.leg_b.spin_ou:
-                legb_m += qj.leg_b
-                skip.append(i + 1 + j)
-        qes_compressed.append((lega_m, legb_m, qi.cL))
-    if len(skip) > 0 and verbose:
-        print("qe_compress: %s spin transforms, down from %s"
-              % (2 * (len(qes) - len(skip)), 2 * len(qes)))
-    return qes_compressed
+    """Group terms sharing a first leg and output spin, so evaluation spends one spin
+    transform on the shared leg and one on the fused sum of second legs
+    (reference behaviour: plancklens/utils_qe.py:207-226).
+
+    Returns [(qeleg_multi first, qeleg_multi fused second, cL), ...].
+    """
+    lcmp = max([q.get_lmax_a() + q.get_lmax_b() for q in qes], default=0)
+    buckets = {}
+    out = []
+    for q in qes:
+        key = (_leg_key(q.leg_a), q.leg_b.spin_ou, _cl_key(q.cL, lcmp))
+        if key in buckets:
+            first, fused, _ = out[buckets[key]]
+            fused += q.leg_b
+        else:
+            buckets[key] = len(out)
+            out.append((qeleg_multi([q.leg_a.spin_in], q.leg_a.spin_ou, [q.leg_a.cl]),
+                        qeleg_multi([q.leg_b.spin_in], q.leg_b.spin_ou, [np.copy(q.leg_b.cl)]),
+                        q.cL))
+    if verbose and len(out) != len(qes):
+        print("qe_compress: %s spin transforms, down from %s" % (2 * len(out), 2 * len(qes)))
+    return out

@@ -14,7 +14,9 @@ from ..utils.cachers import cacher_mem
 
 
 class stats:
-    """Running mean/covariance accumulator (reference: plancklens/utils.py:181-266)."""
+    """Running mean/covariance accumulator with consistency-test helpers
+    (capability surface of reference plancklens/utils.py:181-266: mean/cov/sigmas,
+    correlation matrix, Hartlap-debiased inverse, chi^2 + PTE, non-overlapping rebin)."""
 
     def __init__(self, size, xcoord=None, docov=True):
         self.N = 0
@@ -36,13 +38,67 @@ class stats:
         assert self.N > 0
         return self.sum / self.N
 
+    def avg(self):
+        return self.mean()
+
     def cov(self):
+        """Unbiased sample covariance (N - 1 normalisation; zeros for a single sample)."""
         assert self.docov and self.N > 0
+        if self.N == 1:
+            return np.zeros((self.size, self.size))
         mean = self.mean()
-        return self.mom / self.N - np.outer(mean, mean)
+        return (self.mom - self.N * np.outer(mean, mean)) / (self.N - 1.)
+
+    def sigmas(self):
+        return np.sqrt(np.diag(self.cov()))
 
     def sigmas_on_mean(self):
-        return np.sqrt(np.diag(self.cov()) / self.N)
+        return self.sigmas() / np.sqrt(self.N)
+
+    def corrcoeffs(self):
+        s = self.sigmas()
+        return self.cov() / np.outer(s, s)
+
+    def inverse(self, bias_p=None):
+        """Inverse covariance, debiased by the Hartlap factor (N - size - 2)/(N - 1) for
+        Gaussian statistics (or an explicit `bias_p`)."""
+        assert self.N > self.size, 'too few samples for an invertible covariance'
+        if bias_p is None:
+            bias_p = (self.N - self.size - 2.) / (self.N - 1.)
+        return bias_p * np.linalg.inv(self.cov())
+
+    def get_chisq(self, data):
+        """(data - mean)^T Cov^-1 (data - mean)."""
+        dx = np.asarray(data).flatten() - self.mean()
+        return float(dx @ self.inverse() @ dx)
+
+    def get_chisq_pte(self, data, ndof=None):
+        """Probability to exceed the data chi^2, for `ndof` degrees of freedom
+        (default N - 1)."""
+        from scipy.stats import chi2 as chi2_dist
+        return chi2_dist.sf(self.get_chisq(data), self.N - 1 if ndof is None else ndof)
+
+    def rebin_that_nooverlap(self, orig_coord, lmins, lmaxs, weights=None):
+        """New stats instance over non-overlapping [lmin, lmax] bins of `orig_coord`,
+        weight-averaging entries within each bin (moments mapped as T M T^T)."""
+        orig_coord = np.asarray(orig_coord)
+        lmins, lmaxs = np.asarray(lmins), np.asarray(lmaxs)
+        assert orig_coord.size == self.size
+        assert lmins.size == lmaxs.size and np.all(lmaxs >= lmins)
+        assert np.all(np.diff(lmins) > 0) and np.all(np.diff(lmaxs) > 0), \
+            'bins must be sorted / non-overlapping'
+        w = np.ones(self.size) if weights is None else np.asarray(weights)
+        assert w.size == self.size
+        T = np.zeros((lmins.size, self.size))
+        for k, (lo, hi) in enumerate(zip(lmins, lmaxs)):
+            sel = (orig_coord >= lo) & (orig_coord <= hi)
+            if np.any(sel):
+                T[k, sel] = w[sel] / np.sum(w[sel])
+        out = stats(lmins.size, xcoord=0.5 * (lmins + lmaxs))
+        out.sum = T @ self.sum
+        out.mom = T @ self.mom @ T.T
+        out.N = self.N
+        return out
 
 
 class QeClLib:

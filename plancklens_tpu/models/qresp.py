@@ -5,17 +5,25 @@ QE keys (same grammar as the reference, cf. plancklens/qresp.py:1-31):
   'a' polarisation rotation; maps: 'tt' (T only), '_p' (pol only), '' (MV/GMV), explicit
   pairs 'te', '_eb', ...; bias-hardening via '_bh_' infix ('ptt_bh_s').
 
-The response of QE key k to source S is assembled from double spin sums of Wigner-space
-convolutions (`wignerc`) of the QE weights, the filtering matrix and the covariance response
-(reference: plancklens/qresp.py:269-312, 376-418). Here each `wignerc` is a pair of batched
-matmuls against cached Wigner-d matrices on the GL grid (see plancklens_tpu.ops.wigner).
+Design. The response of a QE to an anisotropy source is a double sum over the spin
+components the filtering matrix mixes into each leg, of Wigner-space convolutions of
+(leg weight x filter x covariance-response) spectra (the math: plancklens/qresp.py:269-312
+and arXiv:1807.06210 App. A). Rather than evaluating those convolutions one host call at a
+time, this module *assembles* every contraction of a response into a spec list and hands the
+whole batch to :func:`plancklens_tpu.ops.wigner.wignerc_stack`, which runs them as a few
+stacked GEMMs against cached Wigner-d matrices; the (G/C) channel combination is then one
+vectorised pass over the stacked results. Internally the 4 response channels live as a
+(2, 2, lmax+1) array R[i_out, i_in] with index 0 = gradient, 1 = curl; the public API
+returns the reference-compatible (GG, CC, GC, CG) tuples.
 """
 import numpy as np
 
 from ..utils.cls import joincls, cli, clinv
-from ..ops.wigner import wignerc
+from ..ops.wigner import wignerc_stack
 from . import spin as uspin
 from .qe import qeleg, qe, qe_simplify, qe_proj
+
+_SPINS3 = (0, -2, 2)
 
 
 def get_qes(qe_key, lmax, cls_weight, lmax2=None, transf=None):
@@ -71,36 +79,37 @@ def get_qes(qe_key, lmax, cls_weight, lmax2=None, transf=None):
 def get_resp_legs(source, lmax):
     r"""Per-spin harmonic response of a CMB map to an anisotropy source: 4-tuple
     (source spin r, response for +r, response for -r, G/C -> potential scaling)
-    (reference: plancklens/qresp.py:104-133)."""
-    lmax_ = lmax
+    (math as reference plancklens/qresp.py:104-133)."""
+    ones = np.ones(lmax + 1, dtype=float)
+    unit_scale = lambda ell: np.ones(len(ell), dtype=float)
     if source in ['p', 'x']:
-        return {s: (1, -0.5 * uspin.get_spin_lower(s, lmax_),
-                    -0.5 * uspin.get_spin_raise(s, lmax_),
-                    lambda ell: uspin.get_spin_raise(0, np.max(ell))[ell])
-                for s in [0, -2, 2]}
+        # lensing: gradient of the covariance, one unit of source spin
+        kappa_scale = lambda ell: uspin.get_spin_raise(0, np.max(ell))[ell]
+        return {s: (1, -0.5 * uspin.get_spin_lower(s, lmax),
+                    -0.5 * uspin.get_spin_raise(s, lmax), kappa_scale)
+                for s in _SPINS3}
     if source == 'f':
-        return {s: (0, 0.5 * np.ones(lmax_ + 1), 0.5 * np.ones(lmax_ + 1),
-                    lambda ell: np.ones(len(ell), dtype=float)) for s in [0, -2, 2]}
+        # modulation: spin-0 multiplicative source
+        return {s: (0, 0.5 * ones, 0.5 * ones, unit_scale) for s in _SPINS3}
     if source in ['a', 'a_p']:
-        ret = {s: (0, -np.sign(s) * 1j * np.ones(lmax_ + 1),
-                   -np.sign(s) * 1j * np.ones(lmax_ + 1),
-                   lambda ell: np.ones(len(ell), dtype=float)) for s in [-2, 2]}
-        ret[0] = (0, np.zeros(lmax_ + 1), np.zeros(lmax_ + 1),
-                  lambda ell: np.ones(len(ell), dtype=float))
+        # rotation: acts on polarisation only, with opposite phase on the +-2 components
+        ret = {s: (0, -np.sign(s) * 1j * ones, -np.sign(s) * 1j * ones, unit_scale)
+               for s in (-2, 2)}
+        ret[0] = (0, np.zeros(lmax + 1), np.zeros(lmax + 1), unit_scale)
         return ret
     assert 0, source + ' response legs not implemented'
 
 
 def get_covresp(source, s1, s2, cls, lmax, transf=None):
     r"""Response of the spin-(s1, s2) CMB covariance to the anisotropy source
-    (reference: plancklens/qresp.py:135-163)."""
+    (math as reference plancklens/qresp.py:135-163)."""
     if source in ['p', 'x', 'f', 'a', 'a_p']:
         s_source, prR, mrR, cL_scal = get_resp_legs(source, lmax)[s1]
         coupl = uspin.spin_cls(s1, s2, cls)[:lmax + 1]
         return s_source, prR * coupl, mrR * coupl, cL_scal
     elif source in ['stt', 's']:
-        cond = s1 == 0 and s2 == 0
-        unit = 0.25 * cond * np.ones(lmax + 1, dtype=float)
+        # point sources: a white spin-0 covariance response on the TT block only
+        unit = 0.25 * (s1 == 0 and s2 == 0) * np.ones(lmax + 1, dtype=float)
         return 0, unit, unit.copy(), lambda ell: np.ones(len(ell), dtype=float)
     assert 0, 'source ' + source + ' cov. response not implemented'
 
@@ -122,36 +131,38 @@ def qe_spin_data(qe_key):
         'p' if qe_key[0] == 'x' else qe_key[0]
 
 
+def _to_tuple(R):
+    """(2, 2, L) channel array -> (GG, CC, GC, CG)."""
+    return R[0, 0], R[1, 1], R[0, 1], R[1, 0]
+
+
 def get_response(qe_key, lmax_ivf, source, cls_weight, cls_cmb, fal, fal_leg2=None,
                  lmax_ivf2=None, lmax_qlm=None, transf=None):
     r"""Isotropic QE response 4-tuple (R^GG, R^CC, R^GC, R^CG)
-    (reference: plancklens/qresp.py:269-312).
+    (reference behaviour: plancklens/qresp.py:269-312).
 
-    Args mirror the reference: `cls_weight` enters the QE weights, `cls_cmb` the CMB
-    covariance response, `fal` the isotropic filtering spectra (1/(C+N/b^2)-style).
+    `cls_weight` enters the QE weights, `cls_cmb` the CMB covariance response, `fal` the
+    isotropic filtering spectra (1/(C+N/b^2)-style).
     """
     if lmax_ivf2 is None:
         lmax_ivf2 = lmax_ivf
     if lmax_qlm is None:
         lmax_qlm = lmax_ivf + lmax_ivf2
+    kw = dict(fal_leg2=fal_leg2, lmax_ivf2=lmax_ivf2, lmax_qlm=lmax_qlm, transf=transf)
     if '_bh_' in qe_key:
-        k, hsource = qe_key.split('_bh_')
-        assert len(hsource) == 1, hsource
-        h = hsource[0]
-        kw = dict(fal_leg2=fal_leg2, lmax_ivf2=lmax_ivf2, lmax_qlm=lmax_qlm, transf=transf)
-        R_ks = get_response(k, lmax_ivf, source, cls_weight, cls_cmb, fal, **kw)
-        R_hs = get_response(h + k[1:], lmax_ivf, source, cls_weight, cls_cmb, fal, **kw)
-        R_kh = get_response(k, lmax_ivf, h, cls_weight, cls_cmb, fal, **kw)
-        R_hh = get_response(h + k[1:], lmax_ivf, h, cls_weight, cls_cmb, fal, **kw)
-        GG_ks, CC_ks, GC_ks, CG_ks = R_ks
-        GG_hs, CC_hs, GC_hs, CG_hs = R_hs
-        GG_kh, CC_kh, GC_kh, CG_kh = R_kh
-        GG_hh, CC_hh, GC_hh, CG_hh = R_hh
-        RGG = GG_ks - (GG_kh * GG_hs * cli(GG_hh) + GC_kh * CG_hs * cli(CC_hh))
-        RCC = CC_ks - (CG_kh * GC_hs * cli(GG_hh) + CC_kh * CC_hs * cli(CC_hh))
-        RGC = GC_ks - (GG_kh * GC_hs * cli(GG_hh) + GC_kh * CC_hs * cli(CC_hh))
-        RCG = CG_ks - (CG_kh * GG_hs * cli(GG_hh) + CC_kh * CG_hs * cli(CC_hh))
-        return RGG, RCC, RGC, RCG
+        # bias-hardening as 2x2 channel algebra: R_bh = R_ks - R_kh D(R_hh)^-1 R_hs,
+        # with D the diagonal (GG, CC) part (reference math: plancklens/qresp.py:290-306)
+        k, hsrc = qe_key.split('_bh_')
+        assert len(hsrc) == 1, hsrc
+        h = hsrc[0] + k[1:]
+        R_ks = _channels(get_response(k, lmax_ivf, source, cls_weight, cls_cmb, fal, **kw))
+        R_hs = _channels(get_response(h, lmax_ivf, source, cls_weight, cls_cmb, fal, **kw))
+        R_kh = _channels(get_response(k, lmax_ivf, hsrc[0], cls_weight, cls_cmb, fal, **kw))
+        R_hh = _channels(get_response(h, lmax_ivf, hsrc[0], cls_weight, cls_cmb, fal, **kw))
+        Dinv = np.zeros_like(R_hh)
+        Dinv[0, 0] = cli(R_hh[0, 0])
+        Dinv[1, 1] = cli(R_hh[1, 1])
+        return _to_tuple(R_ks - np.einsum('abl,bcl,cdl->adl', R_kh, Dinv, R_hs))
 
     qes = get_qes(qe_key, lmax_ivf, cls_weight, lmax2=lmax_ivf2, transf=transf)
     if 'tt' in qe_key and source in ['n', 'ntt']:
@@ -159,98 +170,116 @@ def get_response(qe_key, lmax_ivf, source, cls_weight, cls_cmb, fal, fal_leg2=No
     return _get_response(qes, source, cls_cmb, fal, lmax_qlm, fal_leg2=fal_leg2)
 
 
-def _get_response(qes, source, cls_cmb, fal_leg1, lmax_qlm, fal_leg2=None):
-    """Double spin-sum assembly of the response (reference: plancklens/qresp.py:376-418)."""
-    fal_leg2 = fal_leg1 if fal_leg2 is None else fal_leg2
-    RGG = np.zeros(lmax_qlm + 1, dtype=float)
-    RCC = np.zeros(lmax_qlm + 1, dtype=float)
-    RGC = np.zeros(lmax_qlm + 1, dtype=float)
-    RCG = np.zeros(lmax_qlm + 1, dtype=float)
-    Ls = np.arange(lmax_qlm + 1, dtype=int)
-    for q in qes:
-        si, ti = (q.leg_a.spin_in, q.leg_b.spin_in)
-        so, to = (q.leg_a.spin_ou, q.leg_b.spin_ou)
-        for s2 in [0, -2, 2]:
-            FA = uspin.get_spin_matrix(si, s2, fal_leg1)
-            if not np.any(FA):
-                continue
-            for t2 in [0, -2, 2]:
-                FB = uspin.get_spin_matrix(ti, t2, fal_leg2)
-                if not np.any(FB):
-                    continue
-                rW_st, prW_st, mrW_st, s_cL_st = get_covresp(source, -s2, t2, cls_cmb,
-                                                             len(FB) - 1)
-                clA = joincls([q.leg_a.cl, FA])
-                clB = joincls([q.leg_b.cl, FB, mrW_st.conj()])
-                Rpr_st = wignerc(clA, clB, so, s2, to, -s2 + rW_st, lmax_out=lmax_qlm) \
-                    * s_cL_st(Ls)
+def _channels(tup):
+    """(GG, CC, GC, CG) -> (2, 2, L) channel array."""
+    GG, CC, GC, CG = tup
+    return np.array([[GG, GC], [CG, CC]])
 
-                rW_ts, prW_ts, mrW_ts, s_cL_ts = get_covresp(source, -t2, s2, cls_cmb,
-                                                             len(FA) - 1)
-                clA = joincls([q.leg_a.cl, FA, mrW_ts.conj()])
-                clB = joincls([q.leg_b.cl, FB])
-                Rpr_st = Rpr_st + wignerc(clA, clB, so, -t2 + rW_ts, to, t2,
-                                          lmax_out=lmax_qlm) * s_cL_ts(Ls)
-                assert rW_st == rW_ts and rW_st >= 0, (rW_st, rW_ts)
-                if rW_st > 0:
-                    clA = joincls([q.leg_a.cl, FA])
-                    clB = joincls([q.leg_b.cl, FB, prW_st.conj()])
-                    Rmr_st = wignerc(clA, clB, so, s2, to, -s2 - rW_st,
-                                     lmax_out=lmax_qlm) * s_cL_st(Ls)
-                    clA = joincls([q.leg_a.cl, FA, prW_ts.conj()])
-                    clB = joincls([q.leg_b.cl, FB])
-                    Rmr_st = Rmr_st + wignerc(clA, clB, so, -t2 - rW_ts, to, t2,
-                                              lmax_out=lmax_qlm) * s_cL_ts(Ls)
-                else:
-                    Rmr_st = Rpr_st
-                prefac = q.cL(Ls)
-                RGG += prefac * (Rpr_st.real + Rmr_st.real * (-1) ** rW_st)
-                RCC += prefac * (Rpr_st.real - Rmr_st.real * (-1) ** rW_st)
-                RGC += prefac * (-Rpr_st.imag + Rmr_st.imag * (-1) ** rW_st)
-                RCG += prefac * (Rpr_st.imag + Rmr_st.imag * (-1) ** rW_st)
-    return RGG, RCC, RGC, RCG
+
+def _insertion_pair(q, Fa, Fb, sF, tF, source, cls_cmb, sign_r):
+    """The two contraction specs of one covariance-response insertion, +r (`sign_r`=+1) or
+    -r (`sign_r`=-1): the source acting through leg b, and through leg a.
+
+    Returns ([(spec, Lweight_fn), (spec, Lweight_fn)], r) with specs consumable by
+    `wignerc_stack`.
+    """
+    sa_o, sb_o = q.leg_a.spin_ou, q.leg_b.spin_ou
+    r_b, wp_b, wm_b, scale_b = get_covresp(source, -sF, tF, cls_cmb, len(Fb) - 1)
+    r_a, wp_a, wm_a, scale_a = get_covresp(source, -tF, sF, cls_cmb, len(Fa) - 1)
+    assert r_a == r_b and r_b >= 0, (r_a, r_b)
+    w_b = wm_b if sign_r > 0 else wp_b
+    w_a = wm_a if sign_r > 0 else wp_a
+    via_b = ((joincls([q.leg_a.cl, Fa]), (sa_o, sF),
+              joincls([q.leg_b.cl, Fb, np.conj(w_b)]), (sb_o, -sF + sign_r * r_b)), scale_b)
+    via_a = ((joincls([q.leg_a.cl, Fa, np.conj(w_a)]), (sa_o, -tF + sign_r * r_a),
+              joincls([q.leg_b.cl, Fb]), (sb_o, tF)), scale_a)
+    return [via_b, via_a], r_b
+
+
+def _get_response(qes, source, cls_cmb, fal_leg1, lmax_qlm, fal_leg2=None):
+    """Batched assembly of the response channel array (math as reference
+    plancklens/qresp.py:376-418; evaluation via one `wignerc_stack` call)."""
+    fal2 = fal_leg1 if fal_leg2 is None else fal_leg2
+    Ls = np.arange(lmax_qlm + 1, dtype=int)
+    specs = []     # contraction specs, in blocks of 2 (pr) or 4 (pr + mr)
+    spec_w = []    # per-spec L-dependent weight
+    blocks = []    # (start_row, has_mr, parity, cL prefactor) per (q, sF, tF) block
+    for q in qes:
+        prefac = q.cL(Ls)
+        for sF in _SPINS3:
+            Fa = uspin.get_spin_matrix(q.leg_a.spin_in, sF, fal_leg1)
+            if not np.any(Fa):
+                continue
+            for tF in _SPINS3:
+                Fb = uspin.get_spin_matrix(q.leg_b.spin_in, tF, fal2)
+                if not np.any(Fb):
+                    continue
+                start = len(specs)
+                pr, r = _insertion_pair(q, Fa, Fb, sF, tF, source, cls_cmb, +1)
+                for spec, scale in pr:
+                    specs.append(spec)
+                    spec_w.append(scale(Ls))
+                if r > 0:
+                    for spec, scale in _insertion_pair(q, Fa, Fb, sF, tF, source,
+                                                       cls_cmb, -1)[0]:
+                        specs.append(spec)
+                        spec_w.append(scale(Ls))
+                blocks.append((start, r > 0, (-1) ** r, prefac))
+
+    R = np.zeros((2, 2, lmax_qlm + 1), dtype=float)
+    if not specs:
+        return _to_tuple(R)
+    res = wignerc_stack(specs, lmax_qlm) * np.asarray(spec_w)
+    for start, has_mr, parity, prefac in blocks:
+        Rpr = res[start] + res[start + 1]
+        Rmr = (res[start + 2] + res[start + 3]) if has_mr else Rpr
+        R[0, 0] += prefac * (Rpr.real + parity * Rmr.real)
+        R[1, 1] += prefac * (Rpr.real - parity * Rmr.real)
+        R[0, 1] += prefac * (parity * Rmr.imag - Rpr.imag)
+        R[1, 0] += prefac * (Rpr.imag + parity * Rmr.imag)
+    return _to_tuple(R)
 
 
 def _get_response_ntt(qes, fal_leg1, lmax_qlm, fal_leg2=None, transf=None):
-    """Response of TT-like QEs to the noise-variance source 'ntt'
-    (reference: plancklens/qresp.py:315-361)."""
+    """Response of TT-like QEs to the noise-variance source 'ntt', batched
+    (math as reference plancklens/qresp.py:315-361)."""
     assert transf is not None
-    fal_leg2 = fal_leg1 if fal_leg2 is None else fal_leg2
-    RGG = np.zeros(lmax_qlm + 1, dtype=float)
-    RCC = np.zeros(lmax_qlm + 1, dtype=float)
-    RGC = np.zeros(lmax_qlm + 1, dtype=float)
-    RCG = np.zeros(lmax_qlm + 1, dtype=float)
+    fal2 = fal_leg1 if fal_leg2 is None else fal_leg2
     Ls = np.arange(lmax_qlm + 1, dtype=int)
-    transfi = clinv(np.asarray(transf, dtype=float))
+    bli = clinv(np.asarray(transf, dtype=float))
+    specs, blocks = [], []
     for q in qes:
-        si, ti = (q.leg_a.spin_in, q.leg_b.spin_in)
-        so, to = (q.leg_a.spin_ou, q.leg_b.spin_ou)
-        assert (si, ti) == (0, 0)
-        s_qe = abs(so + to)
-        FA = uspin.get_spin_matrix(si, 0, fal_leg1)
-        FB = uspin.get_spin_matrix(ti, 0, fal_leg2)
-        if not (np.any(FA) and np.any(FB)):
+        sa_i, sb_i = q.leg_a.spin_in, q.leg_b.spin_in
+        sa_o, sb_o = q.leg_a.spin_ou, q.leg_b.spin_ou
+        assert (sa_i, sb_i) == (0, 0)
+        s_qe = abs(sa_o + sb_o)
+        Fa = uspin.get_spin_matrix(sa_i, 0, fal_leg1)
+        Fb = uspin.get_spin_matrix(sb_i, 0, fal2)
+        if not (np.any(Fa) and np.any(Fb)):
             continue
-        clA = joincls([q.leg_a.cl, FA, transfi])
-        clB = joincls([q.leg_b.cl, FB, transfi])
-        Rpr_st = wignerc(clA, clB, so, 0, to, 0, lmax_out=lmax_qlm)
+        start = len(specs)
+        specs.append((joincls([q.leg_a.cl, Fa, bli]), (sa_o, 0),
+                      joincls([q.leg_b.cl, Fb, bli]), (sb_o, 0)))
         if s_qe > 0:
-            fac = (-1) ** (so + si + to + ti)
-            FA = uspin.get_spin_matrix(-si, 0, fal_leg1)
-            FB = uspin.get_spin_matrix(-ti, 0, fal_leg2)
-            clA = joincls([np.conj(q.leg_a.cl), FA, transfi])
-            clB = joincls([np.conj(q.leg_b.cl), FB, transfi])
-            Rmr_st = fac * wignerc(clA, clB, -so, 0, -to, 0, lmax_out=lmax_qlm)
-        else:
-            Rmr_st = Rpr_st
-        prefac = 0.5 * q.cL(Ls)
-        Rpr = np.atleast_1d(Rpr_st)
-        Rmr = np.atleast_1d(Rmr_st)
-        RGG += prefac * (Rpr.real + Rmr.real * (-1) ** s_qe)
-        RCC += prefac * (Rpr.real - Rmr.real * (-1) ** s_qe)
-        RGC += prefac * (-np.imag(Rpr) + np.imag(Rmr) * (-1) ** s_qe)
-        RCG += prefac * (np.imag(Rpr) + np.imag(Rmr) * (-1) ** s_qe)
-    return RGG, RCC, RGC, RCG
+            Fa_m = uspin.get_spin_matrix(-sa_i, 0, fal_leg1)
+            Fb_m = uspin.get_spin_matrix(-sb_i, 0, fal2)
+            specs.append((joincls([np.conj(q.leg_a.cl), Fa_m, bli]), (-sa_o, 0),
+                          joincls([np.conj(q.leg_b.cl), Fb_m, bli]), (-sb_o, 0)))
+        parity_fac = (-1) ** (sa_o + sa_i + sb_o + sb_i) if s_qe > 0 else 1.
+        blocks.append((start, s_qe > 0, s_qe, parity_fac, 0.5 * q.cL(Ls)))
+
+    R = np.zeros((2, 2, lmax_qlm + 1), dtype=float)
+    if specs:
+        res = wignerc_stack(specs, lmax_qlm)
+        for start, has_m, s_qe, pfac, prefac in blocks:
+            Rp = np.atleast_1d(res[start])
+            Rm = pfac * np.atleast_1d(res[start + 1]) if has_m else Rp
+            sgn = (-1) ** s_qe
+            R[0, 0] += prefac * (Rp.real + sgn * Rm.real)
+            R[1, 1] += prefac * (Rp.real - sgn * Rm.real)
+            R[0, 1] += prefac * (sgn * np.imag(Rm) - np.imag(Rp))
+            R[1, 0] += prefac * (np.imag(Rp) + sgn * np.imag(Rm))
+    return _to_tuple(R)
 
 
 def get_dresponse_dlncl(qe_key, l, cl_key, lmax_ivf, source, cls_weight, cls_cmb, fal_leg1,
@@ -317,73 +346,74 @@ class RespLib:
 
 
 def get_mf_resp(qe_key, cls_cmb, cls_ivfs, lmax_qe, lmax_out, retterms=False):
-    """Deflection-induced mean-field response (Carron & Lewis 2019)
-    (reference: plancklens/qresp.py:421-501)."""
+    r"""Deflection-induced mean-field response (Carron & Lewis 2019; math as reference
+    plancklens/qresp.py:421-501), evaluated as one batched contraction stack.
+
+    Two families of Wick terms enter: "connected" ones where the two deflection insertions
+    share a covariance line (xi K xi - xi type), and "disconnected" squares of single
+    insertions ((xi K)(xi K) type, a Fisher-like piece). Both are enumerated below into a
+    single spec list; each term carries its (grad_weight, curl_weight) combination signs.
+    """
     assert qe_key in ['p_p', 'ptt'], qe_key
+    spins = [0] if qe_key == 'ptt' else [-2, 2]
+    diag = ['tt'] if qe_key == 'ptt' else ['ee', 'bb']
+    lmax_cmb = min(len(cls_cmb[k]) - 1 for k in diag)
+    assert lmax_qe <= lmax_cmb
+    # filtered-covariance building blocks, per diagonal spectrum
+    cl_KxiK = {k: cls_cmb[k][:lmax_qe + 1] ** 2 * cls_ivfs[k][:lmax_qe + 1] for k in diag}
+    cl_K = {k: cls_cmb[k][:lmax_qe + 1] * cls_ivfs[k][:lmax_qe + 1] for k in diag}
+
+    specs = []
+    combo = []  # (grad sign, curl sign, fisher?) per spec
+    for s1 in spins:
+        for s2 in spins:
+            half = 0.5 ** (s1 != 0) * 0.5 ** (s2 != 0)
+            # connected family: ivf covariance x (cmb - cmb K cmb) covariance, two
+            # deflection spins a (on the cmb side) x b (fixed +1 by symmetry)
+            cl_i = uspin.spin_cls(s1, s2, cls_ivfs)[:lmax_qe + 1] * half
+            cl_c = np.array(uspin.spin_cls(s2, s1, cls_cmb)[:lmax_cmb + 1])
+            cl_c[:lmax_qe + 1] -= uspin.spin_cls(s2, s1, cl_KxiK)[:lmax_qe + 1]
+            if np.any(cl_i) and np.any(cl_c):
+                for a in (-1, 1):
+                    da = uspin.get_spin_lower(s2, lmax_cmb) if a == -1 \
+                        else uspin.get_spin_raise(s2, lmax_cmb)
+                    db = uspin.get_spin_lower(-s1, lmax_cmb)  # b = +1 branch only (symmetry)
+                    pref = 2. * (-1) ** (s1 + s2)
+                    specs.append((pref * cl_i, (s2, s1), cl_c * da * db, (-s2 - a, -s1 - 1)))
+                    combo.append((-a, -1., False))
+            # disconnected (Fisher) family: two single-K insertions
+            cl_u = uspin.spin_cls(s2, s1, cl_K)[:lmax_qe + 1] * 0.5 ** (s1 != 0)
+            cl_v = uspin.spin_cls(s1, s2, cl_K)[:lmax_qe + 1] * 0.5 ** (s2 != 0)
+            if np.any(cl_u) and np.any(cl_v):
+                for a in (-1, 1):
+                    da = uspin.get_spin_lower(s2, lmax_qe) if a == -1 \
+                        else uspin.get_spin_raise(s2, lmax_qe)
+                    db = uspin.get_spin_lower(s1, lmax_qe)
+                    pref = 2. * (-1) ** (s1 + s2)
+                    specs.append((pref * cl_u * da, (-s2 - a, -s1), cl_v * db, (s2, s1 - 1)))
+                    combo.append((-a, -1., True))
+
     GL = np.zeros(lmax_out + 1, dtype=float)
     CL = np.zeros(lmax_out + 1, dtype=float)
-    if qe_key == 'ptt':
-        lmax_cmb = len(cls_cmb['tt']) - 1
-        spins = [0]
-    elif qe_key == 'p_p':
-        lmax_cmb = min(len(cls_cmb['ee']) - 1, len(cls_cmb['bb']) - 1)
-        spins = [-2, 2]
-    else:
-        assert 0
-    assert lmax_qe <= lmax_cmb
-    if qe_key == 'ptt':
-        cl_cmbtoticmb = {'tt': cls_cmb['tt'][:lmax_qe + 1] ** 2 * cls_ivfs['tt'][:lmax_qe + 1]}
-        cl_cmbtoti = {'tt': cls_cmb['tt'][:lmax_qe + 1] * cls_ivfs['tt'][:lmax_qe + 1]}
-    else:
-        cl_cmbtoticmb = {'ee': cls_cmb['ee'][:lmax_qe + 1] ** 2 * cls_ivfs['ee'][:lmax_qe + 1],
-                         'bb': cls_cmb['bb'][:lmax_qe + 1] ** 2 * cls_ivfs['bb'][:lmax_qe + 1]}
-        cl_cmbtoti = {'ee': cls_cmb['ee'][:lmax_qe + 1] * cls_ivfs['ee'][:lmax_qe + 1],
-                      'bb': cls_cmb['bb'][:lmax_qe + 1] * cls_ivfs['bb'][:lmax_qe + 1]}
-    FisherGII = np.zeros(lmax_out + 1, dtype=float)
-    FisherCII = np.zeros(lmax_out + 1, dtype=float)
-    terms = {'GK': np.zeros(lmax_out + 1), 'GxiK': np.zeros(lmax_out + 1)}
-    for s1 in spins:  # (xi K xi - xi)(K)-type terms
-        for s2 in spins:
-            cl1 = uspin.spin_cls(s1, s2, cls_ivfs)[:lmax_qe + 1] \
-                * (0.5 ** (s1 != 0) * 0.5 ** (s2 != 0))
-            cl2 = np.copy(uspin.spin_cls(s2, s1, cls_cmb)[:lmax_cmb + 1])
-            cl2[:lmax_qe + 1] -= uspin.spin_cls(s2, s1, cl_cmbtoticmb)[:lmax_qe + 1]
-            if np.any(cl1) and np.any(cl2):
-                for a in [-1, 1]:
-                    ai = uspin.get_spin_lower(s2, lmax_cmb) if a == -1 \
-                        else uspin.get_spin_raise(s2, lmax_cmb)
-                    for b in [1]:  # (a, b) symmetry
-                        aj = uspin.get_spin_lower(-s1, lmax_cmb) if b == 1 \
-                            else uspin.get_spin_raise(-s1, lmax_cmb)
-                        hL = 2 * (-1) ** (s1 + s2) * wignerc(
-                            cl1, cl2 * ai * aj, s2, s1, -s2 - a, -s1 - b, lmax_out=lmax_out)
-                        GL += (-a * b) * hL
-                        CL += (-1) * hL
-    for s1 in spins:  # (xi K)(xi K)-type terms
-        for s2 in spins:
-            cl1 = uspin.spin_cls(s2, s1, cl_cmbtoti)[:lmax_qe + 1] * (0.5 ** (s1 != 0))
-            cl2 = uspin.spin_cls(s1, s2, cl_cmbtoti)[:lmax_qe + 1] * (0.5 ** (s2 != 0))
-            if np.any(cl1) and np.any(cl2):
-                for a in [-1, 1]:
-                    ai = uspin.get_spin_lower(s2, lmax_qe) if a == -1 \
-                        else uspin.get_spin_raise(s2, lmax_qe)
-                    for b in [1]:
-                        aj = uspin.get_spin_lower(s1, lmax_qe) if b == 1 \
-                            else uspin.get_spin_raise(s1, lmax_qe)
-                        hL = 2 * (-1) ** (s1 + s2) * wignerc(
-                            cl1 * ai, cl2 * aj, -s2 - a, -s1, s2, s1 - b, lmax_out=lmax_out)
-                        FisherGII += (-a * b) * hL
-                        FisherCII += (-1) * hL
-    terms['GK'] += GL
-    terms['GxiK'] -= FisherGII
-    GL -= FisherGII
-    CL -= FisherCII
+    fishG = np.zeros(lmax_out + 1, dtype=float)
+    fishC = np.zeros(lmax_out + 1, dtype=float)
+    res = wignerc_stack(specs, lmax_out).real
+    for row, (gw, cw, fisher) in zip(res, combo):
+        if fisher:
+            fishG += gw * row
+            fishC += cw * row
+        else:
+            GL += gw * row
+            CL += cw * row
+    terms = {'GK': GL.copy(), 'GxiK': -fishG.copy()}
+    GL -= fishG
+    CL -= fishC
     terms['Gcons'] = -np.ones_like(GL) * CL[1]
-    GL -= CL[1]
+    GL -= CL[1]   # constant-deflection gauge term
     CL -= CL[1]
-    fac = 0.25 * np.arange(lmax_out + 1) * np.arange(1, lmax_out + 2)
-    GL *= fac
-    CL *= fac
-    for term in terms.values():
-        term *= fac
+    kfac = 0.25 * np.arange(lmax_out + 1) * np.arange(1, lmax_out + 2)
+    GL *= kfac
+    CL *= kfac
+    for t in terms.values():
+        t *= kfac
     return (GL, CL) if not retterms else (GL, CL, terms)

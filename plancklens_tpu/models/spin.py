@@ -1,101 +1,112 @@
 r"""Spin-weight algebra for CMB fields.
 
-Conventions (identical to the reference, cf. plancklens/utils_spin.py:1-16):
-:math:`_{\pm|s|}X_{lm} = -(\pm)^{|s|}(G_{lm} \pm i C_{lm})`, so that
-:math:`G^0_{lm} = -T_{lm}`, :math:`G^2_{lm} = E_{lm}`, :math:`C^2_{lm} = B_{lm}`.
+Conventions (same physics as the reference, cf. plancklens/utils_spin.py:1-16):
+:math:`_{\pm|s|}X_{lm} = -(\pm)^{|s|}(G_{lm} \pm i C_{lm})` with
+:math:`G^0_{lm} = -T_{lm}`, :math:`G^2_{lm} = E_{lm}`, :math:`C^2_{lm} = B_{lm}`, i.e.
 
-Behaviour matched to reference plancklens/utils_spin.py:96-196 (get_spin_raise/lower,
-spin_cls, get_spin_matrix).
+.. math::
+    {}_0X = T, \qquad {}_{+2}X = -(E + iB), \qquad {}_{-2}X = -(E - iB).
+
+Everything in this module is linear algebra with the single constant matrix ``B`` encoding
+that change of basis, applied per multipole to the (T, E, B) spectral matrix:
+
+* ``spin_cls(s1, s2)``  = congruence transform  :math:`(B\,C\,B^\dagger)_{s_1 s_2}` of the
+  TEB covariance C — the cross-spectrum :math:`\langle {}_{s_1}X\, {}_{s_2}X^*\rangle`;
+* ``get_spin_matrix(sout, sin)`` = similarity transform :math:`(B\,F\,B^{-1})_{s_{\rm out}
+  s_{\rm in}}` of a TEB-basis filtering matrix F.
+
+Functional parity with reference plancklens/utils_spin.py:96-196; the implementation is a
+3x3 contraction over stacked spectra instead of a per-case ladder.
 """
 import numpy as np
+
+# spin components are ordered (0, +2, -2) in all 3x3 matrices below
+_SLOT = {0: 0, 2: 1, -2: 2}
+
+# B maps (T, E, B) onto (_0X, _+2X, _-2X); rows follow _SLOT
+_B = np.array([[1., 0., 0.],
+               [0., -1., -1j],
+               [0., -1., +1j]], dtype=complex)
+# closed-form inverse: T = _0X, E = -(_+2X + _-2X)/2, B = i(_+2X - _-2X)/2
+_BINV = np.array([[1., 0., 0.],
+                  [0., -0.5, -0.5],
+                  [0., 0.5j, -0.5j]], dtype=complex)
 
 
 def get_spin_raise(s, lmax):
     r"""Eigenvalue :math:`\sqrt{(l-s)(l+s+1)}` of the spin-raising operator on spin-s
     harmonics, zero below l = \|s\|."""
     ret = np.zeros(lmax + 1, dtype=float)
-    ret[abs(s):] = np.sqrt(np.arange(abs(s) - s, lmax - s + 1, dtype=float)
-                           * np.arange(abs(s) + s + 1, lmax + s + 2, dtype=float))
+    ls = np.arange(abs(s), lmax + 1, dtype=float)
+    ret[abs(s):] = np.sqrt((ls - s) * (ls + s + 1.))
     return ret
 
 
 def get_spin_lower(s, lmax):
     r"""Eigenvalue :math:`-\sqrt{(l+s)(l-s+1)}` of the spin-lowering operator."""
     ret = np.zeros(lmax + 1, dtype=float)
-    ret[abs(s):] = -np.sqrt(np.arange(s + abs(s), lmax + s + 1, dtype=float)
-                            * np.arange(abs(s) - s + 1, lmax - s + 2, dtype=float))
+    ls = np.arange(abs(s), lmax + 1, dtype=float)
+    ret[abs(s):] = -np.sqrt((ls + s) * (ls - s + 1.))
     return ret
 
 
-def _dict_transpose(cls):
-    ret = {}
-    for k in cls.keys():
-        if len(k) == 1:
-            ret[k + k] = np.copy(cls[k])
-        else:
-            assert len(k) == 2
-            ret[k[1] + k[0]] = np.copy(cls[k])
-    return ret
+def _teb_stack(cls, diag_letters=False):
+    """(3, 3, nl) complex stack of the TEB spectral matrix from a cls dict.
+
+    Entry (a, b) is cls['ab'], falling back to the transposed key 'ba' (physical spectra
+    are symmetric; dicts usually carry one of the two), then to zero. With `diag_letters`,
+    single-letter keys 't'/'e'/'b' are accepted for the diagonal. Returns None when the
+    dict carries no TEB content at all.
+    """
+    fields = 'teb'
+    nl = 0
+    for k, v in cls.items():
+        if all(c in fields for c in k) and len(k) in (1, 2):
+            nl = max(nl, np.atleast_1d(np.asarray(v)).shape[-1])
+    if nl == 0:
+        return None
+    out = np.zeros((3, 3, nl), dtype=complex)
+    for i, a in enumerate(fields):
+        for j, b in enumerate(fields):
+            v = cls.get(a + b, cls.get(b + a) if i != j else None)
+            if v is None and i == j and diag_letters:
+                v = cls.get(a)
+            if v is not None:
+                v = np.atleast_1d(np.asarray(v))
+                out[i, j, :v.shape[-1]] = v
+    return out
+
+
+def _as_real_if_real(arr):
+    return arr.real.copy() if np.allclose(arr.imag, 0.) else arr
 
 
 def spin_cls(s1, s2, cls):
-    r"""Spin-weighted cross-spectrum :math:`_{s1}X_{lm}\, _{s2}X^*_{lm}` from TEB spectra.
+    r"""Spin-weighted cross-spectrum :math:`\langle {}_{s_1}X_{lm}\,{}_{s_2}X^*_{lm}\rangle`
+    from TEB spectra: row s1 of B times the TEB covariance times the conjugate of row s2.
 
-    Output real unless TB/EB make it complex.
+    Output is real unless TB/EB parity-odd spectra make it complex.
     """
-    if s1 < 0:
-        return (-1) ** (s1 + s2) * np.conjugate(spin_cls(-s1, -s2, _dict_transpose(cls)))
-    assert s1 in [0, 2] and s2 in [0, -2, 2], (s1, s2, 'not implemented')
-    if s1 == 0:
-        if s2 == 0:
-            return cls['tt']
-        tb = cls.get('tb', None)
-        te = cls.get('te', cls.get('et'))
-        return -te if tb is None else -te + 1j * np.sign(s2) * tb
-    elif s1 == 2:
-        if s2 == 0:
-            tb = cls.get('bt', cls.get('tb', None))
-            et = cls.get('et', cls.get('te'))
-            return -et if tb is None else -et - 1j * tb
-        elif s2 == 2:
-            return cls['ee'] + cls['bb']
-        elif s2 == -2:
-            eb = cls.get('be', cls.get('eb', None))
-            return cls['ee'] - cls['bb'] if eb is None else cls['ee'] - cls['bb'] + 2j * eb
-    assert 0, (s1, s2)
+    assert s1 in _SLOT and s2 in _SLOT, (s1, s2, 'not implemented')
+    C = _teb_stack(cls)
+    assert C is not None, 'no TEB spectra in dict: %s' % list(cls.keys())
+    row = _B[_SLOT[s1]]
+    col = np.conj(_B[_SLOT[s2]])
+    return _as_real_if_real(np.einsum('a,abl,b->l', row, C, col))
 
 
 def get_spin_matrix(sout, sin, cls):
-    r"""Spin-space filtering matrix :math:`R^{-1}\,{\rm cls}[T,E,B]\,R`, where R maps
-    :math:`_{0,\pm2}X` onto (T, E, B). Missing keys mean zero spectra; single-letter keys
-    't','e','b' are accepted for the diagonals."""
-    assert sin in [0, 2, -2] and sout in [0, 2, -2], (sin, sout)
-    if sin == 0:
-        if sout == 0:
-            return cls.get('tt', cls.get('t', 0.))
-        tb = cls.get('tb', None)
-        return (-cls.get('te', 0.) - 1j * np.sign(sout) * tb) if tb is not None \
-            else -cls.get('te', 0.)
-    if sin == 2:
-        if sout == 0:
-            te = cls.get('te', 0.)
-            tb = cls.get('tb', None)
-            return -0.5 * (te - 1j * tb) if tb is not None else -0.5 * te
-        if sout == 2:
-            return 0.5 * (cls.get('ee', cls.get('e', 0.)) + cls.get('bb', cls.get('b', 0.)))
-        if sout == -2:
-            ret = 0.5 * (cls.get('ee', cls.get('e', 0.)) - cls.get('bb', cls.get('b', 0.)))
-            eb = cls.get('eb', None)
-            return ret - 1j * eb if eb is not None else ret
-    if sin == -2:
-        if sout == 0:
-            te = cls.get('te', 0.)
-            tb = cls.get('tb', None)
-            return -0.5 * (te + 1j * tb) if tb is not None else -0.5 * te
-        if sout == 2:
-            ret = 0.5 * (cls.get('ee', cls.get('e', 0.)) - cls.get('bb', cls.get('b', 0.)))
-            eb = cls.get('eb', None)
-            return ret + 1j * eb if eb is not None else ret
-        if sout == -2:
-            return 0.5 * (cls.get('ee', cls.get('e', 0.)) + cls.get('bb', cls.get('b', 0.)))
-    assert 0, (sin, sout)
+    r"""Spin-space filtering matrix element: the TEB-basis matrix `cls` conjugated into the
+    spin basis, :math:`(B\,F\,B^{-1})_{s_{\rm out} s_{\rm in}}`.
+
+    Missing keys mean zero spectra; single-letter keys 't', 'e', 'b' are accepted for the
+    diagonal. Scalar 0. is returned when the dict has no TEB content (so callers can cheaply
+    test `np.any`).
+    """
+    assert sout in _SLOT and sin in _SLOT, (sout, sin)
+    F = _teb_stack(cls, diag_letters=True)
+    if F is None:
+        return 0.
+    row = _B[_SLOT[sout]]
+    col = _BINV[:, _SLOT[sin]]
+    return _as_real_if_real(np.einsum('a,abl,b->l', row, F, col))

@@ -38,7 +38,7 @@ def _spin_lowering_ladder(ls, s, k):
     return fac
 
 
-def lensed_cls(cls_unl, clpp, lmax_out=None, nterms=2):
+def lensed_cls(cls_unl, clpp, lmax_out=None, nterms=2, delta_cls=False):
     """Lensed TT/EE/BB/TE spectra.
 
     Args:
@@ -46,6 +46,8 @@ def lensed_cls(cls_unl, clpp, lmax_out=None, nterms=2):
         clpp: lensing potential spectrum C_L^phiphi
         lmax_out: output band limit (defaults to input lmax - 50 buffer)
         nterms: order in Cgl,2 kept (2 recommended)
+        delta_cls: return the lensing-induced difference (lensed - unlensed) instead of
+            the lensed spectra (camb.correlations.lensed_cls delta_cls convention)
 
     Returns:
         dict with lensed 'tt', 'ee', 'bb', 'te'.
@@ -133,4 +135,11 @@ def lensed_cls(cls_unl, clpp, lmax_out=None, nterms=2):
     expo_x = llp1 - 2.
     xi_x = series_pos(te, 2, 0, expo_x)
     out['te'] = np.asarray(wignercoeff(xi_x * wg, xg, 2, 0, lmax_out, grid_token=tok))
+    if delta_cls:
+        for k in out:
+            unl = np.zeros(lmax_out + 1)
+            cl_in = np.asarray(cls_unl.get(k, unl))
+            n = min(len(cl_in), lmax_out + 1)
+            unl[:n] = cl_in[:n]
+            out[k] = out[k] - unl
     return out

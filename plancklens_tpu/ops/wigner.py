@@ -79,9 +79,12 @@ def _jacobi_pmat(K, coeffs, p0, p1, x):
     return jnp.concatenate([jnp.stack([p0, p1]), ps], axis=0)
 
 
-# cache of d-matrices keyed by (a, b, lmax, grid_token); values are (lmax+1, nx) jax arrays
+# LRU cache of d-matrices keyed by (a, b, lmax, grid_token); values are (lmax+1, nx) jax
+# arrays. A full MV response touches ~20 distinct (a, b) pairs; PLK_DMAT_CACHE sizes the
+# cache (each entry is ~(lmax+1) x 1.5 lmax float64, ~50 MB at lmax 2048).
+import os as _os
 _DMAT_CACHE = {}
-_DMAT_CACHE_MAX = 12
+_DMAT_CACHE_MAX = int(_os.environ.get('PLK_DMAT_CACHE', 24))
 
 
 def clear_cache():
@@ -93,7 +96,7 @@ def _dmat_ab(lmax, a, b, x, grid_token=None):
     are r_k sin^a cos^b P_k^{(a,b)}(x)."""
     key = (a, b, lmax, grid_token) if grid_token is not None else None
     if key is not None and key in _DMAT_CACHE:
-        return _DMAT_CACHE[key]
+        return _DMAT_CACHE.setdefault(key, _DMAT_CACHE.pop(key))  # refresh LRU position
     l0 = (a + b) // 2
     x = jnp.asarray(x, dtype=jnp.float64)
     nx = x.shape[0]
@@ -179,3 +182,70 @@ def wignerc(cl1, cl2, sp1, s1, sp2, s2, lmax_out=None):
     if not (np.iscomplexobj(cl1) or np.iscomplexobj(cl2)):
         return ret.real.copy() if np.iscomplexobj(ret) else ret
     return ret
+
+
+def wignerc_stack(specs, lmax_out):
+    """Batched harmonic-space convolutions: evaluate many `wignerc`-type contractions with
+    a handful of stacked GEMMs instead of one host round-trip per term.
+
+    `specs` is a sequence of tuples ``(cl1, (sp1, s1), cl2, (sp2, s2))``; row ``i`` of the
+    returned ``(len(specs), lmax_out + 1)`` array equals
+    ``wignerc(cl1, cl2, sp1, s1, sp2, s2, lmax_out=lmax_out)``.
+
+    Design: all terms share one GL grid sized for the worst-case bandwidth (GL quadrature
+    stays exact on any finer grid). Both synthesis legs and the analysis leg are grouped by
+    their Wigner-d matrix identity ``(a, b) = (|s-s'|, |s+s'|)``; each group is a single
+    (n_group, lmax+1) x (lmax+1, npts) matmul on the cached d-matrix, so the device sees
+    O(#distinct spin pairs) GEMMs — typically < 10 — regardless of the number of terms.
+    Rows whose product vanishes identically are returned as zeros, matching `wignerc`.
+    """
+    n = len(specs)
+    if n == 0:
+        return np.zeros((0, lmax_out + 1), dtype=float)
+    cl1s = [np.atleast_1d(np.asarray(s[0])) for s in specs]
+    cl2s = [np.atleast_1d(np.asarray(s[2])) for s in specs]
+    live = np.array([bool(np.any(c1)) and bool(np.any(c2))
+                     for c1, c2 in zip(cl1s, cl2s)])
+    any_cplx = any(np.iscomplexobj(c) for c in cl1s + cl2s)
+    out_dtype = np.complex128 if any_cplx else np.float64
+    out = np.zeros((n, lmax_out + 1), dtype=out_dtype)
+    if not np.any(live):
+        return out
+
+    idx_live = np.flatnonzero(live)
+    bandwidth = max(len(cl1s[i]) + len(cl2s[i]) - 2 for i in idx_live)
+    npts = nquad_for(bandwidth + lmax_out)
+    xg, wg = gauleg(npts)
+    tok = ('gl', npts)
+
+    def _synth_grouped(cls_list, spin_pairs):
+        """All position-space legs, one GEMM per distinct spin pair."""
+        xi = np.zeros((len(idx_live), npts),
+                      dtype=np.complex128 if any_cplx else np.float64)
+        groups = {}
+        for row, i in enumerate(idx_live):
+            groups.setdefault(spin_pairs[i], []).append(row)
+        for (sa, sb), rows in groups.items():
+            lmax_g = max(len(cls_list[idx_live[r]]) for r in rows) - 1
+            stack = np.zeros((len(rows), lmax_g + 1),
+                             dtype=np.complex128 if any_cplx else np.float64)
+            for j, r in enumerate(rows):
+                cl = cls_list[idx_live[r]]
+                stack[j, :len(cl)] = cl
+            xi[rows] = np.asarray(wignerpos(stack, xg, sa, sb, grid_token=tok))
+        return xi
+
+    sp1s = [s[1] for s in specs]
+    sp2s = [s[3] for s in specs]
+    prod = _synth_grouped(cl1s, sp1s) * _synth_grouped(cl2s, sp2s) * wg
+
+    out_groups = {}
+    for row, i in enumerate(idx_live):
+        so = (sp1s[i][0] + sp2s[i][0], sp1s[i][1] + sp2s[i][1])
+        out_groups.setdefault(so, []).append(row)
+    res = np.zeros((len(idx_live), lmax_out + 1),
+                   dtype=np.complex128 if any_cplx else np.float64)
+    for (sa, sb), rows in out_groups.items():
+        res[rows] = np.asarray(wignercoeff(prod[rows], xg, sa, sb, lmax_out, grid_token=tok))
+    out[idx_live] = res if any_cplx else res.real
+    return out

@@ -24,6 +24,50 @@ def test_n0_iter_decreases():
     assert np.median(N0su[1][sel] / N0su[0][sel]) < 0.9
 
 
+def test_n0_iter_external_tracer():
+    """A perfect external tracer (rho^2 = 1) removes all lensing already at iteration 0:
+    the iteration-0 N0 must match (nearly) the fully-delensed internal result, and a
+    partial tracer must land between none and perfect."""
+    unl = camb_clfile(os.path.join(plancklens_tpu.DATAPATH, 'cls',
+                                   'FFP10_wdipole_lenspotentialCls.dat'), lmax=400)
+    sel = slice(20, 200)
+    _, N0_int = n0s.get_N0_iter('p_p', 1.0, 1.4, 2.0, unl, 30, 350, 4)
+    _, N0_ext = n0s.get_N0_iter('p_p', 1.0, 1.4, 2.0, unl, 30, 350, 0, rho_sqd_ext=1.)
+    _, N0_half = n0s.get_N0_iter('p_p', 1.0, 1.4, 2.0, unl, 30, 350, 0, rho_sqd_ext=0.5)
+    # perfect tracer at it=0 beats (or matches) 4 internal iterations
+    assert np.median(N0_ext[0][sel] / N0_int[-1][sel]) < 1.05
+    # and is much better than no delensing
+    assert np.median(N0_ext[0][sel] / N0_int[0][sel]) < 0.7
+    # partial tracer interpolates
+    assert np.all(N0_ext[0][sel] <= N0_half[0][sel] * (1 + 1e-10))
+    assert np.all(N0_half[0][sel] <= N0_int[0][sel] * (1 + 1e-10))
+
+
+def test_n0_iter_filter_E():
+    """Linear delensing with imperfect E knowledge (filter_E) must help relative to no
+    delensing but cannot beat the perfect-E iterative result; residual BB must drop."""
+    unl = camb_clfile(os.path.join(plancklens_tpu.DATAPATH, 'cls',
+                                   'FFP10_wdipole_lenspotentialCls.dat'), lmax=400)
+    sel = slice(20, 200)
+    kw = dict(cls_unl_fid=unl, lmin_ivf=30, lmax_ivf=350, itermax=2)
+    _, N0_perf, dcls_p, _ = n0s.get_N0_iter('p_p', 1.0, 1.4, 2.0, ret_delcls=True, **kw)
+    _, N0_filt, dcls_f, _ = n0s.get_N0_iter('p_p', 1.0, 1.4, 2.0, ret_delcls=True,
+                                            filter_E=True, **kw)
+    # iteration 0 identical (no delensing happened yet, rho_sqd_phi = 0)
+    assert np.allclose(N0_filt[0][sel], N0_perf[0][sel], rtol=1e-6)
+    # delensing still helps ...
+    assert np.median(N0_filt[-1][sel] / N0_filt[0][sel]) < 0.95
+    # ... but imperfect E knowledge cannot beat the perfect-E forecast
+    assert np.median(N0_perf[-1][sel] / N0_filt[-1][sel]) < 1.01
+    # residual BB after delensing is reduced, and less reduced than with perfect E
+    bsel = slice(30, 300)
+    bb0 = np.median(dcls_f[0]['bb'][bsel])
+    bb_filt = np.median(dcls_f[-1]['bb'][bsel])
+    bb_perf = np.median(dcls_p[-1]['bb'][bsel])
+    assert bb_filt < bb0
+    assert bb_perf < bb_filt * (1. + 1e-10)
+
+
 def test_patchy_two_level_split():
     geom = gl_geometry(64)
     z = np.cos(geom.theta)[:, None]
