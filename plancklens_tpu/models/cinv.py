@@ -28,8 +28,10 @@ from ..ops import cg
 
 
 def _lm_ms(lmax):
+    # numpy (host) constant: device arrays captured by traced closures cannot be
+    # embedded by the axon relay (it fails fetching them at trace time); numpy embeds fine
     _, ms = ualm._lm_indices(lmax)
-    return jnp.asarray(ms)
+    return np.asarray(ms)
 
 
 def template_maps(geom, which=('monopole', 'dipole')):
@@ -67,16 +69,16 @@ class NinvFilterT:
         # per-pixel inverse variance -> inverse variance per steradian, so that
         # Y^T N^{-1} Y = quadrature-analysis(ninv_st * synthesis(.))
         omega = np.outer(geom.weight, np.full(geom.nphi, 2. * np.pi / geom.nphi))
-        self.ninv_st = jnp.asarray(self.ninv / omega)
+        self.ninv_st = np.asarray(self.ninv / omega)
         which = (('monopole',) if marge_monopole else ()) + (('dipole',) if marge_dipole else ())
         tmpl = template_maps(geom, which)
         if templates is not None:
             tmpl = np.concatenate([tmpl, np.asarray(templates)], axis=0)
-        self.templates = jnp.asarray(tmpl)
+        self.templates = np.asarray(tmpl)
         if len(tmpl):
             PtNP = np.einsum('arp,brp->ab', np.asarray(tmpl) * self.ninv[None], tmpl)
             eigv, eigw = np.linalg.eigh(PtNP)
-            self.PtNP_inv = jnp.asarray(eigw @ np.diag(cli(eigv)) @ eigw.T)
+            self.PtNP_inv = np.asarray(eigw @ np.diag(cli(eigv)) @ eigw.T)
         else:
             self.PtNP_inv = None
         # average noise level for the diagonal preconditioner and effective ftl
@@ -92,8 +94,8 @@ class NinvFilterT:
         tmap = tmap * self.ninv_st[None]
         if self.PtNP_inv is not None:
             # templates are deprojected in per-pixel units, as in the reference
-            omega = jnp.asarray(np.outer(self.geom.weight,
-                                         np.full(self.geom.nphi, 2. * np.pi / self.geom.nphi)))
+            omega = np.outer(self.geom.weight,
+                             np.full(self.geom.nphi, 2. * np.pi / self.geom.nphi))
             tpix = tmap * omega[None]
             coeffs = jnp.einsum('trp,brp->bt', self.templates, tpix)
             coeffs = coeffs @ self.PtNP_inv.T
@@ -110,8 +112,8 @@ class NinvFilterT:
         dl = rescal_cl ** 2 * s_cltt[:lmax + 1]
         bdl = self.b_transf[:lmax + 1] * cli(rescal_cl)
         sht = SHT(self.geom, lmax)
-        dli = jnp.asarray(cli(dl))
-        bdlj = jnp.asarray(bdl)
+        dli = np.asarray(cli(dl))
+        bdlj = np.asarray(bdl)
 
         def apply_alm(x):
             """Y^T N^{-1} Y with beams, in rescaled units (opfilt_tt.apply_alm)."""
@@ -129,7 +131,7 @@ class NinvFilterT:
 
         ninv_cl = np.sum(self.ninv) / (4. * np.pi)
         diag = cli(cli(dl) + ninv_cl * bdl ** 2)
-        diagj = jnp.asarray(diag)
+        diagj = np.asarray(diag)
 
         def pre_op_diag(r):
             return ualm.almxfl(r, lmax, diagj)
@@ -153,7 +155,7 @@ def dense_pre_op(fwd_op, lmax_dense, lmax, chunk=512):
     eigv, eigw = np.linalg.eigh(M)
     keep = eigv > 1e-12 * np.max(np.abs(eigv))
     Minv = (eigw[:, keep] * (1. / eigv[keep])) @ eigw[:, keep].T
-    Minv_j = jnp.asarray(Minv)
+    Minv_j = np.asarray(Minv)
 
     def pre_op(r):
         r_d = ualm.alm_copy(r, lmax, lmax_dense)
@@ -165,11 +167,45 @@ def dense_pre_op(fwd_op, lmax_dense, lmax, chunk=512):
     return pre_op
 
 
+def dense_pre_op_stacked(fwd_op, lmax_dense, lmax, ncomp, chunk=256):
+    """Dense low-l preconditioner for stacked (batch, ncomp, nalm) operators (E/B pairs or
+    T/E/B triplets): probe the full coupled operator on every (component, real-harmonic)
+    basis vector with chunked batched applies, eigendecompose the
+    (ncomp nrlm) x (ncomp nrlm) matrix, pseudo-invert
+    (role of reference plancklens/qcinv/dense.py:123-285 pre_op_dense_pp/_tp)."""
+    nrlm = (lmax_dense + 1) ** 2
+    n = ncomp * nrlm
+    basis_alm = ualm.alm_copy(ualm.rlm2alm(jnp.eye(nrlm), lmax_dense), lmax_dense, lmax)
+    nalm = basis_alm.shape[-1]
+    blocks = []
+    for c in range(ncomp):
+        blk = jnp.zeros((nrlm, ncomp, nalm), dtype=basis_alm.dtype)
+        blocks.append(blk.at[:, c, :].set(basis_alm))
+    basis = jnp.concatenate(blocks)  # (n, ncomp, nalm), flat index = c * nrlm + r
+    cols = jnp.concatenate([fwd_op(basis[i:i + chunk]) for i in range(0, n, chunk)])
+    cols_d = ualm.alm_copy(cols.reshape(n * ncomp, nalm), lmax, lmax_dense)
+    M = np.asarray(ualm.alm2rlm(cols_d, lmax_dense)).reshape(n, n)
+    M = 0.5 * (M + M.T)
+    eigv, eigw = np.linalg.eigh(M)
+    keep = eigv > 1e-12 * np.max(np.abs(eigv))
+    Minv_j = np.asarray((eigw[:, keep] * (1. / eigv[keep])) @ eigw[:, keep].T)
+
+    def pre_op(r):
+        bsz = r.shape[0]
+        r_d = ualm.alm_copy(r.reshape(bsz * ncomp, -1), lmax, lmax_dense)
+        rr = ualm.alm2rlm(r_d, lmax_dense).reshape(bsz, n)
+        x_d = ualm.rlm2alm((rr @ Minv_j.T).reshape(bsz * ncomp, nrlm), lmax_dense)
+        return ualm.alm_copy(x_d, lmax_dense, lmax).reshape(r.shape)
+
+    return pre_op
+
+
 def split_pre_op(low_op, diag_op, lmax_split, lmax):
     """Apply low_op below lmax_split, diag_op above (reference:
-    plancklens/qcinv/multigrid.py:163-182)."""
+    plancklens/qcinv/multigrid.py:163-182). Works on (batch, nalm) and stacked
+    (batch, ncomp, nalm) vectors alike (the l mask broadcasts over components)."""
     ls, _ = ualm._lm_indices(lmax)
-    low_mask = jnp.asarray(ls <= lmax_split)
+    low_mask = np.asarray(ls <= lmax_split)
 
     def pre_op(r):
         r_low = jnp.where(low_mask, r, 0.)
@@ -243,13 +279,17 @@ class CinvT:
                             self.eps_min, self._ms)
         return x, it, rel
 
-    def apply_ivf(self, tmaps, x0=None, ret_it=False):
-        """bar t = C^{-1}-weighted inverse-variance filtered alms of the input maps."""
+    def apply_ivf(self, tmaps, x0=None, ret_it=False, ret_wf=False):
+        """bar t = C^{-1}-weighted inverse-variance filtered alms of the input maps.
+
+        x0 warm-starts the CG; ret_wf additionally returns the rescaled Wiener solution
+        (reusable as the next x0, reference filt_cinv.py:196-203)."""
         x, it, rel = self.solve_wf(tmaps, x0=x0)
         # x solves the rescaled system; unrescaled ivf alm is x * rescal_cl / dl
-        fl = jnp.asarray(self.rescal_cl * cli(self.dl))
+        fl = np.asarray(self.rescal_cl * cli(self.dl))
         out = ualm.almxfl(x, self.lmax, fl)
-        return (out, it, rel) if ret_it else out
+        extras = ((it, rel) if ret_it else ()) + ((x,) if ret_wf else ())
+        return (out,) + extras if extras else out
 
 
 class NinvFilterP:
@@ -258,9 +298,14 @@ class NinvFilterP:
 
     ninv is either a (nrings, nphi) array (QQ = UU, QU = 0) or a triplet
     (QQ, QU, UU) of such arrays.
+
+    Template marginalisation (role of reference opfilt_pp.py:113-303 with
+    template_removal.template_qmap/umap): `templates_q` / `templates_u` are lists of
+    (nrings, nphi) maps living purely in Q (resp. U); the corresponding pixel modes are
+    projected out of N^{-1} exactly, via (P^T N^{-1} P)^{-1}.
     """
 
-    def __init__(self, geom, ninv, b_transf):
+    def __init__(self, geom, ninv, b_transf, templates_q=None, templates_u=None):
         self.geom = geom
         if isinstance(ninv, (list, tuple)):
             assert len(ninv) in (1, 3)
@@ -275,16 +320,46 @@ class NinvFilterP:
         self.ninv = (qq, qu, uu)
         self.b_transf = np.asarray(b_transf)
         omega = np.outer(geom.weight, np.full(geom.nphi, 2. * np.pi / geom.nphi))
-        self._st = tuple(jnp.asarray(m / omega) for m in self.ninv)
+        self._omega = np.asarray(omega)
+        self._st = tuple(np.asarray(m / omega) for m in self.ninv)
         self.nlev_ftl = 10800. / np.sqrt(np.sum(0.5 * (qq + uu)) / (4. * np.pi)) / np.pi
+        # (ntempl, 2, nrings, nphi) stack of QU-space template maps
+        tmpl = []
+        for tq in (templates_q or []):
+            tmpl.append(np.stack([np.asarray(tq), np.zeros_like(np.asarray(tq))]))
+        for tu in (templates_u or []):
+            tmpl.append(np.stack([np.zeros_like(np.asarray(tu)), np.asarray(tu)]))
+        self.templates = np.stack(tmpl) if tmpl \
+            else np.zeros((0, 2, geom.nrings, geom.nphi))
+        if tmpl:
+            t_np = np.stack(tmpl)
+            # N^{-1} P in per-pixel units
+            ninv_mat = np.stack([np.stack([qq, qu]), np.stack([qu, uu])])  # (2,2,r,p)
+            NP = np.einsum('abrp,tbrp->tarp', ninv_mat, t_np)
+            PtNP = np.einsum('tarp,sarp->ts', t_np, NP)
+            eigv, eigw = np.linalg.eigh(PtNP)
+            self.PtNP_inv = np.asarray(eigw @ np.diag(cli(eigv)) @ eigw.T)
+        else:
+            self.PtNP_inv = None
 
     def hashdict(self):
         return {'ninv': [clhash(m) for m in self.ninv], 'b_transf': clhash(self.b_transf),
-                'geom': self.geom.hashdict()}
+                'ntempl': int(self.templates.shape[0]), 'geom': self.geom.hashdict()}
 
     def apply_map(self, qmap, umap):
         qq, qu, uu = self._st
-        return qmap * qq[None] + umap * qu[None], qmap * qu[None] + umap * uu[None]
+        nq = qmap * qq[None] + umap * qu[None]
+        nu = qmap * qu[None] + umap * uu[None]
+        if self.PtNP_inv is not None:
+            # deproject template modes (per-pixel units, as in the T filter)
+            pix = jnp.stack([nq, nu], axis=1) * self._omega[None, None]  # (b, 2, r, p)
+            coeffs = jnp.einsum('tarp,barp->bt', self.templates, pix) @ self.PtNP_inv.T
+            modes = jnp.einsum('bt,tarp->barp', coeffs, self.templates)
+            mq, mu = modes[:, 0], modes[:, 1]
+            # N^{-1} modes in per-steradian units: the _st matrices already carry 1/omega
+            nq = nq - (mq * qq[None] + mu * qu[None])
+            nu = nu - (mq * qu[None] + mu * uu[None])
+        return nq, nu
 
     def make_ops(self, lmax, s_clee, s_clbb, rescal_cl=None):
         """(fwd_op, calc_prep, pre_op_diag, scal) on stacked (batch, 2, nalm) E/B alms."""
@@ -296,9 +371,9 @@ class NinvFilterP:
         dlb = rescal_cl ** 2 * s_clbb[:lmax + 1]
         bdl = self.b_transf[:lmax + 1] * cli(rescal_cl)
         sht = SHT(self.geom, lmax)
-        dlei = jnp.asarray(cli(dle))
-        dlbi = jnp.asarray(cli(dlb))
-        bdlj = jnp.asarray(bdl)
+        dlei = np.asarray(cli(dle))
+        dlbi = np.asarray(cli(dlb))
+        bdlj = np.asarray(bdl)
 
         def apply_alm(x):
             e = ualm.almxfl(x[:, 0], lmax, bdlj)
@@ -324,7 +399,7 @@ class NinvFilterP:
         ninv_cl = np.sum(0.5 * (qq + uu)) / (4. * np.pi)
         diag_e = cli(cli(dle) + ninv_cl * bdl ** 2)
         diag_b = cli(cli(dlb) + ninv_cl * bdl ** 2)
-        de, db = jnp.asarray(diag_e), jnp.asarray(diag_b)
+        de, db = np.asarray(diag_e), np.asarray(diag_b)
 
         def pre_op_diag(r):
             return jnp.stack([ualm.almxfl(r[:, 0], lmax, de),
@@ -334,18 +409,29 @@ class NinvFilterP:
 
 
 class CinvP:
-    """Polarisation cinv filter (reference: plancklens/filt/filt_cinv.py:206-338)."""
+    """Polarisation cinv filter (reference: plancklens/filt/filt_cinv.py:206-338).
 
-    def __init__(self, lmax, geom, cl, transf, ninv, eps_min=1e-5, iter_max=300):
+    lmax_dense > 0 enables the dense low-l preconditioner of the coupled E/B operator
+    (role of reference dense.py pre_op_dense_pp); templates_q/u marginalise Q/U pixel
+    modes."""
+
+    def __init__(self, lmax, geom, cl, transf, ninv, eps_min=1e-5, iter_max=300,
+                 lmax_dense=0, templates_q=None, templates_u=None):
         self.lmax = lmax
         self.geom = geom
         self.cl = cl
         self.transf = np.asarray(transf)[:lmax + 1]
-        self.filt = NinvFilterP(geom, ninv, self.transf)
+        self.filt = NinvFilterP(geom, ninv, self.transf, templates_q=templates_q,
+                                templates_u=templates_u)
         self.eps_min = eps_min
         self.iter_max = iter_max
-        self.fwd_op, self.calc_prep, self.pre_op, (self.rescal_cl, self.dle, self.dlb) = \
+        self.fwd_op, self.calc_prep, self.pre_diag, (self.rescal_cl, self.dle, self.dlb) = \
             self.filt.make_ops(lmax, cl['ee'], cl['bb'])
+        if lmax_dense > 0:
+            dense = dense_pre_op_stacked(self.fwd_op, min(lmax_dense, lmax), lmax, 2)
+            self.pre_op = split_pre_op(dense, self.pre_diag, min(lmax_dense, lmax), lmax)
+        else:
+            self.pre_op = self.pre_diag
         self._ms = _lm_ms(lmax)
 
     def hashdict(self):
@@ -393,26 +479,47 @@ class CinvP:
                              self.eps_min, ms2)
         return xf.reshape(b.shape), it, rel
 
-    def apply_ivf(self, qmaps, umaps, ret_it=False):
-        """(bar e, bar b) = C^{-1}-weighted inverse-variance filtered E/B alms."""
-        x, it, rel = self.solve_wf(qmaps, umaps)
-        fle = jnp.asarray(self.rescal_cl * cli(self.dle))
-        flb = jnp.asarray(self.rescal_cl * cli(self.dlb))
-        e = ualm.almxfl(x[:, 0], self.lmax, fle)
-        b = ualm.almxfl(x[:, 1], self.lmax, flb)
-        return ((e, b), it, rel) if ret_it else (e, b)
+    def apply_ivf(self, qmaps, umaps, x0=None, ret_it=False, ret_wf=False):
+        """(bar e, bar b) = C^{-1}-weighted inverse-variance filtered E/B alms.
+
+        x0 warm-starts the CG from a previous rescaled Wiener solution; with ret_wf the
+        solution is returned too (for a solution library, reference
+        filt_cinv.py:196-203)."""
+        x, it, rel = self.solve_wf(qmaps, umaps, x0=x0)
+        fle = np.asarray(self.rescal_cl * cli(self.dle))
+        flb = np.asarray(self.rescal_cl * cli(self.dlb))
+        out = (ualm.almxfl(x[:, 0], self.lmax, fle), ualm.almxfl(x[:, 1], self.lmax, flb))
+        extras = ((it, rel) if ret_it else ()) + ((x,) if ret_wf else ())
+        return (out,) + extras if extras else out
 
 
 class IVFCinv:
     """ivfs-interface adapter over CinvT/CinvP instances filtering a map-space sim library
-    (reference: plancklens/filt/filt_cinv.py:515-626)."""
+    (reference: plancklens/filt/filt_cinv.py:515-626).
 
-    def __init__(self, cinv_t, cinv_p, sim_lib, cl_weights):
+    `cacher` persists the filtered alms (restartability); `soltn_cacher` persists the raw
+    CG solutions so re-runs (e.g. after a crash, or with a tightened eps) warm-start the
+    solver instead of starting from zero (role of the reference's soltn_lib,
+    filt_cinv.py:196-203, filt_simple.py:27-33)."""
+
+    def __init__(self, cinv_t, cinv_p, sim_lib, cl_weights, cacher=None,
+                 soltn_cacher=None):
         self.cinv_t = cinv_t
         self.cinv_p = cinv_p
         self.sim_lib = sim_lib
         self.cl = cl_weights
         self._cache = {}
+        self.cacher = cacher
+        self.soltn_cacher = soltn_cacher
+
+    def _soltn(self, name):
+        if self.soltn_cacher is not None and self.soltn_cacher.is_cached(name):
+            return jnp.asarray(self.soltn_cacher.load(name))
+        return None
+
+    def _store_soltn(self, name, x):
+        if self.soltn_cacher is not None:
+            self.soltn_cacher.cache(name, np.asarray(x))
 
     def hashdict(self):
         return {'cinv_t': self.cinv_t.hashdict() if self.cinv_t else 0,
@@ -437,16 +544,36 @@ class IVFCinv:
     def get_sim_tlm(self, idx):
         key = ('t', idx)
         if key not in self._cache:
-            tmap = self.sim_lib.get_sim_tmap(idx)
-            self._cache[key] = np.asarray(self.cinv_t.apply_ivf(tmap))[0]
+            fn = 'ivf_tlm_%05d' % idx
+            if self.cacher is not None and self.cacher.is_cached(fn):
+                self._cache[key] = np.asarray(self.cacher.load(fn))
+            else:
+                tmap = self.sim_lib.get_sim_tmap(idx)
+                out, x = self.cinv_t.apply_ivf(tmap, x0=self._soltn('wf_t_%05d' % idx),
+                                               ret_wf=True)
+                self._store_soltn('wf_t_%05d' % idx, x)
+                self._cache[key] = np.asarray(out)[0]
+                if self.cacher is not None:
+                    self.cacher.cache(fn, self._cache[key])
         return jnp.asarray(self._cache[key])
 
     def _eb(self, idx):
         key = ('eb', idx)
         if key not in self._cache:
-            q, u = self.sim_lib.get_sim_pmap(idx)
-            e, b = self.cinv_p.apply_ivf(q, u)
-            self._cache[key] = (np.asarray(e)[0], np.asarray(b)[0])
+            fn_e, fn_b = 'ivf_elm_%05d' % idx, 'ivf_blm_%05d' % idx
+            if self.cacher is not None and self.cacher.is_cached(fn_e):
+                self._cache[key] = (np.asarray(self.cacher.load(fn_e)),
+                                    np.asarray(self.cacher.load(fn_b)))
+            else:
+                q, u = self.sim_lib.get_sim_pmap(idx)
+                (e, b), x = self.cinv_p.apply_ivf(q, u,
+                                                  x0=self._soltn('wf_p_%05d' % idx),
+                                                  ret_wf=True)
+                self._store_soltn('wf_p_%05d' % idx, x)
+                self._cache[key] = (np.asarray(e)[0], np.asarray(b)[0])
+                if self.cacher is not None:
+                    self.cacher.cache(fn_e, self._cache[key][0])
+                    self.cacher.cache(fn_b, self._cache[key][1])
         return self._cache[key]
 
     def get_sim_elm(self, idx):
@@ -505,13 +632,19 @@ def template_uptolmin(geom, lmin):
 class NinvFilterTP:
     """Joint T/E/B pixel-space inverse-noise filtering (reference:
     plancklens/qcinv/opfilt_tp.py:164-326): T and (Q, U) noise treated jointly with the
-    full 3x3 per-multipole signal matrix (including TE) in the prior."""
+    full 3x3 per-multipole signal matrix (including TE) in the prior.
 
-    def __init__(self, geom, ninv_t, ninv_p, b_transf):
+    T-template marginalisation (monopole/dipole/extra maps) and Q/U templates are applied
+    inside the respective pixel-space N^{-1} blocks (role of reference
+    opfilt_tp.py:188-214)."""
+
+    def __init__(self, geom, ninv_t, ninv_p, b_transf, marge_monopole=False,
+                 marge_dipole=False, templates_t=None, templates_q=None, templates_u=None):
         self.geom = geom
-        self.filt_t = NinvFilterT(geom, ninv_t, b_transf, marge_monopole=False,
-                                  marge_dipole=False)
-        self.filt_p = NinvFilterP(geom, ninv_p, b_transf)
+        self.filt_t = NinvFilterT(geom, ninv_t, b_transf, marge_monopole=marge_monopole,
+                                  marge_dipole=marge_dipole, templates=templates_t)
+        self.filt_p = NinvFilterP(geom, ninv_p, b_transf, templates_q=templates_q,
+                                  templates_u=templates_u)
         self.b_transf = np.asarray(b_transf)
         self.nlev_ftl = self.filt_t.nlev_ftl
         self.nlev_fpl = self.filt_p.nlev_ftl
@@ -536,9 +669,9 @@ class NinvFilterTP:
         Sinv = np.linalg.pinv(S)
         bdl = self.b_transf[:lmax + 1] * cli(rescal_cl)
         sht = SHT(self.geom, lmax)
-        bdlj = jnp.asarray(bdl)
+        bdlj = np.asarray(bdl)
         ls_idx, _ = ualm._lm_indices(lmax)
-        Sinv_j = jnp.asarray(Sinv)[ls_idx]  # (nalm, 3, 3)
+        Sinv_j = np.asarray(Sinv)[ls_idx]  # (nalm, 3, 3)
 
         def apply_alm(x):
             t = ualm.almxfl(x[:, 0], lmax, bdlj)
@@ -574,7 +707,7 @@ class NinvFilterTP:
         M[:, 0, 0] += nt * bdl ** 2
         M[:, 1, 1] += npol * bdl ** 2
         M[:, 2, 2] += npol * bdl ** 2
-        Minv_j = jnp.asarray(np.linalg.pinv(M))[ls_idx]
+        Minv_j = np.asarray(np.linalg.pinv(M))[ls_idx]
 
         def pre_op(r):
             return jnp.einsum('aij,bja->bia', Minv_j, r)
@@ -583,19 +716,32 @@ class NinvFilterTP:
 
 
 class CinvTP:
-    """Joint T/E/B cinv filter (reference: plancklens/filt/filt_cinv.py:341-512)."""
+    """Joint T/E/B cinv filter (reference: plancklens/filt/filt_cinv.py:341-512).
+
+    lmax_dense > 0 enables the dense low-l preconditioner of the coupled 3x3 operator
+    (role of reference dense.py pre_op_dense_tp); marge/template kwargs are forwarded to
+    the pixel-space N^{-1} blocks."""
 
     def __init__(self, lmax, geom, cls, transf, ninv_t, ninv_p, eps_min=1e-5,
-                 iter_max=400):
+                 iter_max=400, lmax_dense=0, marge_monopole=False, marge_dipole=False,
+                 templates_t=None, templates_q=None, templates_u=None):
         self.lmax = lmax
         self.geom = geom
         self.cls = cls
         self.transf = np.asarray(transf)[:lmax + 1]
-        self.filt = NinvFilterTP(geom, ninv_t, ninv_p, self.transf)
+        self.filt = NinvFilterTP(geom, ninv_t, ninv_p, self.transf,
+                                 marge_monopole=marge_monopole, marge_dipole=marge_dipole,
+                                 templates_t=templates_t, templates_q=templates_q,
+                                 templates_u=templates_u)
         self.eps_min = eps_min
         self.iter_max = iter_max
-        self.fwd_op, self.calc_prep, self.pre_op, (self.rescal_cl, self._S) = \
+        self.fwd_op, self.calc_prep, self.pre_diag, (self.rescal_cl, self._S) = \
             self.filt.make_ops(lmax, cls)
+        if lmax_dense > 0:
+            dense = dense_pre_op_stacked(self.fwd_op, min(lmax_dense, lmax), lmax, 3)
+            self.pre_op = split_pre_op(dense, self.pre_diag, min(lmax_dense, lmax), lmax)
+        else:
+            self.pre_op = self.pre_diag
         self._ms = _lm_ms(lmax)
 
     def hashdict(self):
@@ -604,7 +750,7 @@ class CinvTP:
                 **{k: clhash(self.cls[k][:self.lmax + 1]) for k in ['tt', 'ee', 'bb', 'te']
                    if k in self.cls}}
 
-    def solve_wf(self, tmaps, qmaps, umaps):
+    def solve_wf(self, tmaps, qmaps, umaps, x0=None):
         tmaps = jnp.asarray(tmaps)
         if tmaps.ndim == 2:
             tmaps = tmaps[None]
@@ -613,6 +759,7 @@ class CinvTP:
         b = self.calc_prep(tmaps, qmaps, umaps)
         bsz = b.shape[0]
         bf = b.reshape(bsz, -1)
+        x0f = jnp.zeros_like(bf) if x0 is None else jnp.asarray(x0).reshape(bsz, -1)
         ms3 = jnp.concatenate([self._ms] * 3)
 
         def fwd_flat(xf):
@@ -621,22 +768,24 @@ class CinvTP:
         def pre_flat(rf):
             return self.pre_op(rf.reshape(b.shape)).reshape(bsz, -1)
 
-        xf, it, rel = cg.pcg(fwd_flat, pre_flat, bf, jnp.zeros_like(bf),
+        xf, it, rel = cg.pcg(fwd_flat, pre_flat, bf, x0f,
                              self.iter_max, self.eps_min, ms3)
         return xf.reshape(b.shape), it, rel
 
-    def apply_ivf(self, tmaps, qmaps, umaps, ret_it=False):
+    def apply_ivf(self, tmaps, qmaps, umaps, x0=None, ret_it=False, ret_wf=False):
         """(bar t, bar e, bar b): jointly inverse-variance filtered alms (the rescaled
-        Wiener solution mapped through the 3x3 S^{-1})."""
-        x, it, rel = self.solve_wf(tmaps, qmaps, umaps)
+        Wiener solution mapped through the 3x3 S^{-1}). x0 warm-starts the CG; ret_wf
+        additionally returns the rescaled Wiener solution."""
+        x, it, rel = self.solve_wf(tmaps, qmaps, umaps, x0=x0)
         # bar X = S^{-1}_true x_wf_true; x is the rescaled WF: X_wf_true = x / rescal,
         # S_true = S_rescal / rescal^2  => bar X = rescal * (S_rescal^{-1} x)
         ls_idx, _ = ualm._lm_indices(self.lmax)
-        Sinv_j = jnp.asarray(np.linalg.pinv(self._S))[ls_idx]
+        Sinv_j = np.asarray(np.linalg.pinv(self._S))[ls_idx]
         bar = jnp.einsum('aij,bja->bia', Sinv_j, x)
-        fl = jnp.asarray(self.rescal_cl)
+        fl = np.asarray(self.rescal_cl)
         out = tuple(ualm.almxfl(bar[:, i], self.lmax, fl) for i in range(3))
-        return (out, it, rel) if ret_it else out
+        extras = ((it, rel) if ret_it else ()) + ((x,) if ret_wf else ())
+        return (out,) + extras if extras else out
 
 
 def degrade_ninv(ninv, geom_fine, geom_coarse, lmax_interp=None):

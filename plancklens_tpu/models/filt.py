@@ -97,6 +97,110 @@ class IVFSepTP:
         return self._wiener(self.get_sim_blm(idx), 'bb')
 
 
+class IVFApoSepTP:
+    """Apodised-mask pseudo-inverse filtering of map-space sims (role of reference
+    plancklens/filt/filt_simple.py:473-535 library_apo_sepTP): maps are multiplied by the
+    (presumably apodised) mask, analysed, and isotropically filtered, bar X = fxl/b_l
+    map2alm(apo * X). Wiener legs and the ivfs interface come with the same conventions as
+    IVFSepTP.
+
+    Args:
+        sim_lib: map-space sim library (get_sim_tmap/get_sim_pmap) on `geom`
+        geom: RingGeometry of the maps
+        apomask: (nrings, nphi) apodised mask (e.g. utils.cls.apodize_mask output)
+        cl_len: spectra for the Wiener legs
+        transf: beam/transfer function
+        ftl, fel, fbl: isotropic filters
+    """
+
+    def __init__(self, sim_lib, geom, apomask, cl_len, transf, ftl, fel, fbl):
+        from ..ops.sht import SHT
+        self.sim_lib = sim_lib
+        self.geom = geom
+        self.apomask = np.asarray(apomask)
+        self.cl = cl_len
+        self.transf = np.asarray(transf)
+        self.ftl = np.asarray(ftl)
+        self.fel = np.asarray(fel)
+        self.fbl = np.asarray(fbl)
+        self.lmax_fl = max(len(ftl), len(fel), len(fbl)) - 1
+        assert len(self.transf) >= self.lmax_fl + 1
+        self._sht = SHT(geom, self.lmax_fl)
+        self._apo = jnp.asarray(self.apomask)
+        self._cache = {}
+
+    def hashdict(self):
+        return {'sim_lib': self.sim_lib.hashdict(), 'apomask': clhash(self.apomask),
+                'transf': clhash(self.transf),
+                'cl_len': {k: clhash(self.cl[k]) for k in ['tt', 'ee', 'bb']},
+                'ftl': clhash(self.ftl), 'fel': clhash(self.fel), 'fbl': clhash(self.fbl)}
+
+    def get_fmask(self):
+        return np.copy(self.apomask)
+
+    def get_tal(self, a):
+        assert a.lower() in ['t', 'e', 'b']
+        return cli(self.transf)
+
+    def get_ftl(self):
+        return np.copy(self.ftl)
+
+    def get_fel(self):
+        return np.copy(self.fel)
+
+    def get_fbl(self):
+        return np.copy(self.fbl)
+
+    def _fl(self, f):
+        fl = np.zeros(self.lmax_fl + 1)
+        n = min(len(f), self.lmax_fl + 1)
+        fl[:n] = f[:n] * cli(self.transf[:n])
+        return jnp.asarray(fl)
+
+    def get_sim_tlm(self, idx):
+        key = ('t', idx)
+        if key not in self._cache:
+            tmap = jnp.asarray(self.sim_lib.get_sim_tmap(idx))
+            if tmap.ndim == 2:
+                tmap = tmap[None]
+            alm = self._sht.map2alm(tmap * self._apo[None])
+            self._cache[key] = np.asarray(ualm.almxfl(alm, self.lmax_fl,
+                                                      self._fl(self.ftl)))[0]
+        return jnp.asarray(self._cache[key])
+
+    def _eb(self, idx):
+        key = ('eb', idx)
+        if key not in self._cache:
+            q, u = self.sim_lib.get_sim_pmap(idx)
+            q, u = jnp.asarray(q), jnp.asarray(u)
+            if q.ndim == 2:
+                q, u = q[None], u[None]
+            e, b = self._sht.map2alm_spin((q * self._apo[None], u * self._apo[None]), 2)
+            self._cache[key] = (
+                np.asarray(ualm.almxfl(e, self.lmax_fl, self._fl(self.fel)))[0],
+                np.asarray(ualm.almxfl(b, self.lmax_fl, self._fl(self.fbl)))[0])
+        return self._cache[key]
+
+    def get_sim_elm(self, idx):
+        return jnp.asarray(self._eb(idx)[0])
+
+    def get_sim_blm(self, idx):
+        return jnp.asarray(self._eb(idx)[1])
+
+    def _wiener(self, alm, key):
+        lmax = ualm.getlmax(alm.shape[-1])
+        return ualm.almxfl(alm, lmax, jnp.asarray(self.cl[key][:lmax + 1]))
+
+    def get_sim_tmliklm(self, idx):
+        return self._wiener(self.get_sim_tlm(idx), 'tt')
+
+    def get_sim_emliklm(self, idx):
+        return self._wiener(self.get_sim_elm(idx), 'ee')
+
+    def get_sim_bmliklm(self, idx):
+        return self._wiener(self.get_sim_blm(idx), 'bb')
+
+
 class IVFShuffle:
     """Index-remapped view of an ivfs library — the mechanism behind the ds/ss RDN0 legs
     (reference: plancklens/filt/filt_util.py:186-236)."""

@@ -145,6 +145,20 @@ class QELib:
         self.lmax_qlm = lmax_qlm
         self.cacher = cacher if cacher is not None else cacher_mem(maxsize=64)
         self.resplib = resplib  # needed for '_bh_' (bias-hardened) keys
+        # device-side memo in front of the persistent cacher, so repeated get_sim_qlm
+        # calls (RDN0/qecl loops) return the on-device array without a host round-trip
+        self._dev_memo = {}
+        self._dev_memo_max = 32
+
+    def _memo_put(self, fn, arr):
+        if len(self._dev_memo) >= self._dev_memo_max:
+            self._dev_memo.pop(next(iter(self._dev_memo)))
+        self._dev_memo[fn] = arr
+
+    def _load_dev(self, fn):
+        if fn not in self._dev_memo:
+            self._memo_put(fn, jnp.asarray(self.cacher.load(fn)))
+        return self._dev_memo[fn]
 
     def hashdict(self):
         return {'ivfs1': self.ivfs1.hashdict(), 'ivfs2': self.ivfs2.hashdict(),
@@ -191,14 +205,14 @@ class QELib:
             glm, clm = self._eval_key(k, self._get_alm_fn(self.ivfs1, idx),
                                       self._get_alm_fn(self.ivfs2, idx)
                                       if self.ivfs2 is not self.ivfs1 else None)
-            self.cacher.cache(fn, np.asarray(glm)[0] if np.asarray(glm).ndim > 1
-                              else np.asarray(glm))
+            glm = glm[0] if glm.ndim > 1 else glm
+            self._memo_put(fn, glm)
+            self.cacher.cache(fn, np.asarray(glm))
             if k[0] in ['p', 'x']:
-                self.cacher.cache(fnx, np.asarray(clm)[0] if np.asarray(clm).ndim > 1
-                                  else np.asarray(clm))
-        if k[0] == 'x':
-            return jnp.asarray(self.cacher.load(fnx))
-        return jnp.asarray(self.cacher.load(fn))
+                clm = clm[0] if clm.ndim > 1 else clm
+                self._memo_put(fnx, clm)
+                self.cacher.cache(fnx, np.asarray(clm))
+        return self._load_dev(fnx if k[0] == 'x' else fn)
 
     def _eval_key(self, k, get_alm, get_alm2):
         kk = 'p' + k[1:] if k[0] == 'x' else k  # grad and curl come from the same product

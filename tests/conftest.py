@@ -16,3 +16,25 @@ import jax
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', True)
 
+import pytest
+
+
+def pytest_addoption(parser):
+    parser.addoption('--runslow', action='store_true', default=False,
+                     help='run tests marked slow (also enabled by PLK_SLOW=1)')
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        'markers', 'slow: heavy end-to-end tests (several minutes); run with --runslow '
+                   'or PLK_SLOW=1. The default tier targets < 5 min on one CPU core.')
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption('--runslow') or os.environ.get('PLK_SLOW') == '1':
+        return
+    skip = pytest.mark.skip(reason='slow tier: pass --runslow or set PLK_SLOW=1')
+    for item in items:
+        if 'slow' in item.keywords:
+            item.add_marker(skip)
+

@@ -56,11 +56,11 @@ def test_cinv_homogeneous_matches_isotropic():
     assert err < 1e-4, err
 
 
-@pytest.mark.skipif(os.environ.get('PLK_SLOW') != '1',
-                    reason='~20 min on a single core; set PLK_SLOW=1 to run '
-                           '(validated: CG rel residual 1.1e-7, A-norm error vs the '
-                           'dense solve 1.9e-5 on the cond~1e8 masked system)')
+@pytest.mark.slow
 def test_cinv_masked_matches_dense_solve():
+    # ~20 min on a single core (validated: CG rel residual 1.1e-7, A-norm error vs the
+    # dense solve 1.9e-5 on the cond~1e8 masked system); the default tier covers the
+    # same compare for polarisation at lmax 24 in test_cinv_pol_masked_matches_dense_solve
     # this configuration (band mask, smooth inhomogeneity) is validated at lmax 96, where
     # the split dense+diag preconditioner converges the system to 1e-7; smaller band
     # limits leave the masked modes too weakly constrained for a meaningful dense compare
@@ -196,6 +196,131 @@ def test_cinv_tp_homogeneous_matches_jtp_isotropic():
         assert err < 1e-3, err
 
 
+@pytest.mark.slow
+def test_cinv_pol_masked_matches_dense_solve():
+    """Masked, inhomogeneous-noise polarisation solve against the brute-force dense solve
+    of the coupled E/B system (energy norm + eigen-pseudo-solve; the masked system is
+    ill-conditioned and the l < 2 pol modes are pure null space).
+    Exercises dense_pre_op_stacked as the low-l preconditioner."""
+    from plancklens_tpu.models.cinv import CinvP
+    lmax = 24
+    cls = camb_clfile(os.path.join(plancklens_tpu.DATAPATH, 'cls',
+                                   'FFP10_wdipole_lensedCls.dat'), lmax=lmax)
+    geom = gl_geometry(lmax)
+    sht = SHT(geom, lmax)
+    omega = np.outer(geom.weight, np.full(geom.nphi, 2 * np.pi / geom.nphi))
+    sig_pix = (40. / 60. / 180. * np.pi) / np.sqrt(omega)
+    rng = np.random.RandomState(12)
+    ls, ms = ualm._lm_indices(lmax)
+    a = (rng.standard_normal(len(ls)) + 1j * rng.standard_normal(len(ls))) / np.sqrt(2.)
+    a[ms == 0] = a[ms == 0].real * np.sqrt(2.)
+    elm = a * np.sqrt(cls['ee'][ls])
+    b2 = (rng.standard_normal(len(ls)) + 1j * rng.standard_normal(len(ls))) / np.sqrt(2.)
+    b2[ms == 0] = b2[ms == 0].real * np.sqrt(2.)
+    blm = b2 * np.sqrt(cls['bb'][ls])
+    elm[ls < 2] = 0.
+    blm[ls < 2] = 0.
+    q, u = sht.alm2map_spin((elm, blm), 2)
+    Q = np.asarray(q) + rng.standard_normal(omega.shape) * sig_pix
+    U = np.asarray(u) + rng.standard_normal(omega.shape) * sig_pix
+    ninv = (1. / sig_pix ** 2) * (1. + 0.4 * np.sin(geom.theta))[:, None]
+    ninv = ninv * (np.abs(np.cos(geom.theta))[:, None] > 0.25)
+
+    cinv = CinvP(lmax, geom, cls, np.ones(lmax + 1), ninv, eps_min=1e-9, iter_max=600,
+                 lmax_dense=12)
+    x, it, rel = cinv.solve_wf(Q, U)
+    assert np.all(np.asarray(rel) < 1e-6), np.asarray(rel)
+
+    # dense matrix of the stacked (2, nalm) operator in the real-harmonic basis
+    nrlm = (lmax + 1) ** 2
+    basis = ualm.rlm2alm(np.eye(nrlm), lmax)
+    import jax.numpy as jnp
+    nalm = basis.shape[-1]
+    cols = []
+    for c in range(2):  # one fwd call per component keeps the jit shape count at 1
+        blk = jnp.zeros((nrlm, 2, nalm), dtype=basis.dtype)
+        blk = blk.at[:, c, :].set(basis)
+        out = cinv.fwd_op(blk)
+        cols.append(np.stack([np.asarray(ualm.alm2rlm(out[:, 0], lmax)),
+                              np.asarray(ualm.alm2rlm(out[:, 1], lmax))],
+                             axis=1).reshape(out.shape[0], 2 * nrlm))
+    A = np.concatenate(cols, axis=0).T  # column j = A e_j, flat index c * nrlm + r
+    bvec = cinv.calc_prep(Q[None], U[None])
+    b_flat = np.concatenate([np.asarray(ualm.alm2rlm(bvec[:, 0], lmax))[0],
+                             np.asarray(ualm.alm2rlm(bvec[:, 1], lmax))[0]])
+    Asym = 0.5 * (A + A.T)
+    # eigen-pseudo-solve: the l < 2 pol modes have no prior and (numerically) no data
+    eigv, eigw = np.linalg.eigh(Asym)
+    keep = eigv > 1e-10 * eigv.max()
+    x_dense = eigw[:, keep] @ ((eigw[:, keep].T @ b_flat) / eigv[keep])
+    x_cg = np.concatenate([np.asarray(ualm.alm2rlm(x[:, 0], lmax))[0],
+                           np.asarray(ualm.alm2rlm(x[:, 1], lmax))[0]])
+    dx = x_cg - x_dense
+    errA = np.sqrt(dx @ (Asym @ dx) / (x_dense @ (Asym @ x_dense)))
+    assert errA < 1e-4, errA
+
+
+def test_cinv_warm_start_reduces_iterations():
+    """Re-solving from the previous solution must converge (almost) immediately, and the
+    IVFCinv soltn_cacher must wire that through."""
+    from plancklens_tpu.models.cinv import CinvT, IVFCinv
+    from plancklens_tpu.utils.cachers import cacher_mem
+    cls = _cls()
+    geom = gl_geometry(LMAX)
+    sht = SHT(geom, LMAX)
+    omega = np.outer(geom.weight, np.full(geom.nphi, 2 * np.pi / geom.nphi))
+    sig_pix = (30. / 60. / 180. * np.pi) / np.sqrt(omega)
+    rng = np.random.RandomState(21)
+    tlm = _random_tlm(cls, seed=22)
+    tmap = np.asarray(sht.alm2map(tlm)) + rng.standard_normal(omega.shape) * sig_pix
+    ninv = (1. / sig_pix ** 2) * (np.abs(np.cos(geom.theta))[:, None] > 0.3)
+    cinv = CinvT(LMAX, geom, cls, np.ones(LMAX + 1), ninv, eps_min=1e-5, iter_max=400,
+                 lmax_dense=24)
+    x, it0, rel = cinv.solve_wf(tmap)
+    assert np.asarray(rel).max() < 1e-5
+    _, it1, _ = cinv.solve_wf(tmap, x0=x)
+    assert int(it1) <= max(1, int(it0) // 10), (int(it0), int(it1))
+
+    class _OneSim:
+        def get_sim_tmap(self, idx):
+            return tmap
+
+        def hashdict(self):
+            return {}
+
+    soltn = cacher_mem()
+    ivfs = IVFCinv(cinv, None, _OneSim(), cls, soltn_cacher=soltn)
+    ivfs.get_sim_tlm(0)
+    assert soltn.is_cached('wf_t_00000')
+    # a fresh adapter sharing the solution store warm-starts and converges instantly
+    ivfs2 = IVFCinv(cinv, None, _OneSim(), cls, soltn_cacher=soltn)
+    tlm2 = np.asarray(ivfs2.get_sim_tlm(0))
+    assert np.allclose(tlm2, np.asarray(ivfs.get_sim_tlm(0)), rtol=1e-6, atol=0)
+
+
+def test_ninv_pol_template_deprojection():
+    """Q/U template modes must be exactly nulled by the deprojected N^{-1}."""
+    from plancklens_tpu.models.cinv import NinvFilterP
+    lmax = 32
+    geom = gl_geometry(lmax)
+    omega = np.outer(geom.weight, np.full(geom.nphi, 2 * np.pi / geom.nphi))
+    rng = np.random.RandomState(31)
+    ninv = (1. + 0.3 * np.cos(geom.theta))[:, None] * np.ones_like(omega) / omega
+    tq = np.ones((geom.nrings, geom.nphi))
+    tu = np.cos(geom.theta)[:, None] * np.ones((geom.nrings, geom.nphi))
+    filt = NinvFilterP(geom, ninv, np.ones(lmax + 1), templates_q=[tq], templates_u=[tu])
+    q = rng.standard_normal((1, geom.nrings, geom.nphi))
+    u = rng.standard_normal((1, geom.nrings, geom.nphi))
+    nq, nu = filt.apply_map(q, u)
+    # pixel-space inner products with the templates vanish
+    pix = np.stack([np.asarray(nq)[0], np.asarray(nu)[0]]) * omega[None]
+    P = np.asarray(filt.templates)
+    coeffs = np.einsum('tarp,arp->t', P, pix)
+    scale = np.einsum('tarp,arp->t', np.abs(P), np.abs(pix))
+    assert np.all(np.abs(coeffs) < 1e-10 * scale), (coeffs, scale)
+
+
+@pytest.mark.slow
 def test_multigrid_pre_op_structurally_sound():
     """The multigrid chain must be non-singular across the full band (high-l modes get
     the top-stage diagonal) and accelerate CG over no preconditioning."""

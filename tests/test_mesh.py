@@ -64,6 +64,7 @@ def test_sharded_qe_batch_matches_unsharded():
     assert len(shards) == 8 and all(s.data.shape[0] == 1 for s in shards)
 
 
+@pytest.mark.slow
 def test_sharded_cinv_batch_converges_and_matches():
     """A batched masked cinv solve sharded over 'sims' converges to the same solution."""
     cls = _cls()

@@ -33,6 +33,7 @@ def test_idealized_parfile():
     assert hasattr(par, 'qlms_dd')
 
 
+@pytest.mark.slow
 def test_anisofilt_parfile_full_chain():
     # the whole masked pipeline, shrunk: lensed sims -> masked CG filter -> QE
     os.environ['PLK_ANISO_LMAX'] = '48'

@@ -47,6 +47,7 @@ def _setup():
 CLS_LEN, IVFS, FAL, CLS_IVFS = _setup()
 
 
+@pytest.mark.slow
 def test_sim_spectra():
     # simulated observed spectra match C_l b_l^2 + N_l
     t, e, b = IVFS.sim_lib.get_sim_teblm_batch(np.arange(12))
@@ -56,7 +57,7 @@ def test_sim_spectra():
     assert abs(ratio.mean() - 1.) < 0.05, ratio.mean()
 
 
-@pytest.mark.parametrize('qe_key', ['ptt', 'p_p'])
+@pytest.mark.parametrize('qe_key', [pytest.param('ptt', marks=pytest.mark.slow), 'p_p'])
 def test_qe_spectrum_matches_n0(qe_key):
     qlib = QELib(IVFS, IVFS, CLS_LEN, LMAX, LMAX)
     qlms = np.asarray(qlib.get_sim_qlm_batch(qe_key, np.arange(NSIMS)))
@@ -68,6 +69,7 @@ def test_qe_spectrum_matches_n0(qe_key):
     assert abs(ratio.mean() - 1.) < 0.05, (qe_key, ratio.mean())
 
 
+@pytest.mark.slow
 def test_qe_single_matches_batch():
     qlib = QELib(IVFS, IVFS, CLS_LEN, LMAX, LMAX)
     q0 = np.asarray(qlib.get_sim_qlm('ptt', 3))
