@@ -63,8 +63,10 @@ class NinvFilterT:
 
     def __init__(self, geom, ninv, b_transf, marge_monopole=True, marge_dipole=True,
                  templates=None):
+        from ..utils.maps import read_map
         self.geom = geom
-        self.ninv = np.asarray(ninv)
+        # polymorphic spec: array, path, callable, or list-product of those
+        self.ninv = read_map(ninv).reshape(geom.nrings, geom.nphi)
         self.b_transf = np.asarray(b_transf)
         # per-pixel inverse variance -> inverse variance per steradian, so that
         # Y^T N^{-1} Y = quadrature-analysis(ninv_st * synthesis(.))
@@ -306,16 +308,20 @@ class NinvFilterP:
     """
 
     def __init__(self, geom, ninv, b_transf, templates_q=None, templates_u=None):
+        from ..utils.maps import read_map
         self.geom = geom
+        shape = (geom.nrings, geom.nphi)
         if isinstance(ninv, (list, tuple)):
+            # (QQ,) or (QQ, QU, UU); each entry itself a polymorphic map spec
             assert len(ninv) in (1, 3)
-            qq = np.asarray(ninv[0])
+            qq = read_map(ninv[0]).reshape(shape)
             if len(ninv) == 3:
-                qu, uu = np.asarray(ninv[1]), np.asarray(ninv[2])
+                qu = read_map(ninv[1]).reshape(shape)
+                uu = read_map(ninv[2]).reshape(shape)
             else:
                 qu, uu = np.zeros_like(qq), qq.copy()
         else:
-            qq = np.asarray(ninv)
+            qq = read_map(ninv).reshape(shape)
             qu, uu = np.zeros_like(qq), qq.copy()
         self.ninv = (qq, qu, uu)
         self.b_transf = np.asarray(b_transf)

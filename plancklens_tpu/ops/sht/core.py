@@ -204,6 +204,275 @@ def _tabs_for(t, data):
     return t[flavour]
 
 
+# ---------------------------------------------------------------- north-south symmetry
+# On a symmetric grid (theta_{N-1-j} = pi - theta_j: GL, healpix) the mirror identity
+# d^l_{m n}(pi - t) = (-1)^{l+m} d^l_{m,-n}(t) lets the recursion run on the northern half
+# only: the (+n) recursion provides the southern values of the (-n) transform and vice
+# versa (for n = 0, its own). The recursion is the flop-dominant part of the engine
+# (~6 ops/point vs 2 per accumulate), so this is the reference's 2x grid trick
+# (wigners.f90:187-204) in fused-pair form.
+
+_SYM_CACHE = {}
+
+
+def _sym_split(theta, grid_token=None):
+    """(is_symmetric, nh) with nh = number of northern rings (equator included)."""
+    key = ('sym', grid_token) if grid_token is not None else None
+    if key is not None and key in _SYM_CACHE:
+        return _SYM_CACHE[key]
+    th = np.asarray(theta, dtype=np.float64)
+    sym = bool(np.allclose(th + th[::-1], np.pi, atol=1e-12))
+    out = (sym, (len(th) + 1) // 2)
+    if key is not None:
+        _SYM_CACHE[key] = out
+    return out
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _legendre_pair_ns(mode, S, single, nrings, Cp_or_Qp, Cm_or_Qm, sgn_m,
+                      a_m, b_m, g_m, l0_m, sv_m, sk_m,
+                      a_p, b_p, g_p, l0_p, sv_p, sk_p, x):
+    """Fused (-n, +n) Legendre transforms on the northern half of a symmetric grid.
+
+    mode 'synth':  Cp (batch, lmax+1, mmax+1) -> Fp (batch, nrings, mmax+1) of the (-n)
+                   transform, and Cm -> Fm of the (+n) transform (Cm/Fm absent if single).
+    mode 'anal':   Qp (batch, nrings, mmax+1) -> A (batch, lmax+1, mmax+1) of (-n), and
+                   Qm -> Bc of (+n).
+    Tables *_m belong to n_eff = -n, *_p to +n (aliases of each other when single/n = 0);
+    sgn_m = (-1)^m row.
+    """
+    lmaxp1 = a_m.shape[0]
+    nh = x.shape[0]
+    n_s = nrings - nh
+    mmaxp1 = a_m.shape[1]
+    rdtype = sv_m.dtype
+    xcol = x.astype(rdtype)[:, None]
+    thresh = jnp.asarray(2.0 ** (S // 2), dtype=rdtype)
+    down = jnp.asarray(2.0 ** (-S), dtype=rdtype)
+
+    def init_state(l0, sv, sk):
+        d_m1 = jnp.zeros((nh, mmaxp1), dtype=rdtype)
+        d = jnp.where(l0[None, :] == 0, sv, jnp.zeros((nh, mmaxp1), rdtype))
+        k = jnp.where(l0[None, :] == 0, sk, jnp.zeros((nh, mmaxp1), jnp.int32))
+        return d_m1, d, k
+
+    def recurse(l, st, al, bl, gl, l0, sv, sk):
+        d_m1, d, k = st
+        d_next = (al[None, :] * xcol + bl[None, :]) * d - gl[None, :] * d_m1
+        inject = (l + 1) == l0[None, :]
+        d_new = jnp.where(inject, jnp.zeros_like(d), d)
+        d_next = jnp.where(inject, sv, d_next)
+        k = jnp.where(inject, sk, k)
+        cond = (k < 0) & (jnp.abs(d_next) > thresh)
+        fac = jnp.where(cond, down, jnp.ones_like(d_next))
+        return d_new * fac, d_next * fac, k + cond.astype(jnp.int32)
+
+    CHUNK = int(__import__('os').environ.get('PLK_SHT_CHUNK', 8))
+    npad = (-lmaxp1) % CHUNK
+    nchunks = (lmaxp1 + npad) // CHUNK
+
+    def pad_l(arr):
+        return jnp.pad(arr, ((0, npad),) + ((0, 0),) * (arr.ndim - 1))
+
+    ls = jnp.arange(lmaxp1 + npad, dtype=jnp.int32)
+    tabs_m = tuple(pad_l(t) for t in (a_m, b_m, g_m))
+    tabs_p = tabs_m if single else tuple(pad_l(t) for t in (a_p, b_p, g_p))
+    adtype = jnp.zeros(0, dtype=Cp_or_Qp.dtype).real.dtype
+    sgn_m_row = sgn_m.astype(adtype)
+
+    def reshape_chunks(arr):
+        return arr.reshape((nchunks, CHUNK) + arr.shape[1:])
+
+    is_cplx = jnp.iscomplexobj(Cp_or_Qp)
+
+    def split_parts(arr):
+        return (jnp.real(arr), jnp.imag(arr)) if is_cplx else (arr,)
+
+    def join_parts(parts):
+        return parts[0] + 1j * parts[1] if is_cplx else parts[0]
+
+    if mode == 'synth':
+        batch = Cp_or_Qp.shape[0]
+        Cp_l = pad_l(jnp.moveaxis(Cp_or_Qp, 1, 0))
+        Cp_parts = split_parts(Cp_l)
+        Cm_parts = () if single else split_parts(pad_l(jnp.moveaxis(Cm_or_Qm, 1, 0)))
+        nparts = len(Cp_parts)
+        nacc = nparts * 2 * (1 if single else 2)  # (north, south) x parts x (p[, m])
+        acc0 = tuple(jnp.zeros((batch, nh, mmaxp1), dtype=adtype) for _ in range(nacc))
+
+        def step_s(carry, xs):
+            lc = xs[0]
+            am, bm, gm = xs[1:4]
+            ap_, bp_, gp_ = xs[4:7]
+            Cps = xs[7:7 + nparts]
+            Cms = xs[7 + nparts:]
+            st_m = carry[:3]
+            st_p = carry[3:6]
+            accs = list(carry[6:])
+            for j in range(CHUNK):
+                sgn_l = jnp.where(lc[j] % 2 == 0, 1., -1.).astype(adtype)
+                dm_eff = (st_m[1] * jnp.exp2((S * st_m[2]).astype(rdtype))).astype(adtype)
+                dp_eff = dm_eff if single else \
+                    (st_p[1] * jnp.exp2((S * st_p[2]).astype(rdtype))).astype(adtype)
+                # southern values of the (-n) transform come from the (+n) recursion
+                dm_south = dp_eff * (sgn_l * sgn_m_row)[None, :]
+                a = 0
+                for Cp in Cps:
+                    accs[a] = accs[a] + Cp[j][:, None, :] * dm_eff[None]
+                    accs[a + 1] = accs[a + 1] + Cp[j][:, None, :] * dm_south[None]
+                    a += 2
+                if not single:
+                    dp_south = dm_eff * (sgn_l * sgn_m_row)[None, :]
+                    for Cm in Cms:
+                        accs[a] = accs[a] + Cm[j][:, None, :] * dp_eff[None]
+                        accs[a + 1] = accs[a + 1] + Cm[j][:, None, :] * dp_south[None]
+                        a += 2
+                st_m = recurse(lc[j], st_m, am[j], bm[j], gm[j], l0_m, sv_m, sk_m)
+                if not single:
+                    st_p = recurse(lc[j], st_p, ap_[j], bp_[j], gp_[j], l0_p, sv_p, sk_p)
+            return st_m + st_p + tuple(accs), None
+
+        xs = tuple(reshape_chunks(a) for a in
+                   (ls,) + tabs_m + tabs_p + Cp_parts + Cm_parts)
+        st0 = init_state(l0_m, sv_m, sk_m) + \
+            (init_state(l0_p, sv_p, sk_p) if not single else init_state(l0_m, sv_m, sk_m))
+        out = jax.lax.scan(step_s, st0 + acc0, xs)[0]
+        accs = out[6:]
+
+        def assemble(acc_n_parts, acc_s_parts):
+            F_n = join_parts(acc_n_parts)
+            F_s = join_parts(acc_s_parts)
+            return jnp.concatenate([F_n, F_s[:, :n_s][:, ::-1]], axis=1)
+
+        if single:
+            Fp = assemble(accs[0::2], accs[1::2])
+            return Fp, Fp
+        accs_p = accs[:2 * nparts]
+        accs_m = accs[2 * nparts:]
+        Fp = assemble(accs_p[0::2], accs_p[1::2])
+        Fm = assemble(accs_m[0::2], accs_m[1::2])
+        return Fp, Fm
+    else:
+        # analysis: fold Q into (north, signed mirrored south) pairs per input
+        def fold(Q):
+            Qn = Q[:, :nh]
+            Qs = Q[:, nrings - 1:nh - 1:-1]  # southern rings in northern (mirror) order
+            if n_s < nh:
+                Qs = jnp.pad(Qs, ((0, 0), (0, nh - n_s), (0, 0)))
+            return Qn, Qs * sgn_m_row[None, None, :]
+
+        Qp_n, Qp_s = fold(Cp_or_Qp)
+        Qm_n, Qm_s = (Qp_n, Qp_s) if single else fold(Cm_or_Qm)
+        Qp_n_parts, Qp_s_parts = split_parts(Qp_n), split_parts(Qp_s)
+        Qm_n_parts, Qm_s_parts = split_parts(Qm_n), split_parts(Qm_s)
+        nparts = len(Qp_n_parts)
+
+        def step_a(carry, xs):
+            lc = xs[0]
+            am, bm, gm = xs[1:4]
+            ap_, bp_, gp_ = xs[4:7]
+            st_m = carry[:3]
+            st_p = carry[3:]
+            emits = []
+            for j in range(CHUNK):
+                sgn_l = jnp.where(lc[j] % 2 == 0, 1., -1.).astype(adtype)
+                dm_eff = (st_m[1] * jnp.exp2((S * st_m[2]).astype(rdtype))).astype(adtype)
+                dp_eff = dm_eff if single else \
+                    (st_p[1] * jnp.exp2((S * st_p[2]).astype(rdtype))).astype(adtype)
+                A_l = tuple(jnp.einsum('brm,rm->bm', Qn, dm_eff)
+                            + sgn_l * jnp.einsum('brm,rm->bm', Qs, dp_eff)
+                            for Qn, Qs in zip(Qp_n_parts, Qp_s_parts))
+                if single:
+                    emits.append(A_l)
+                else:
+                    B_l = tuple(jnp.einsum('brm,rm->bm', Qn, dp_eff)
+                                + sgn_l * jnp.einsum('brm,rm->bm', Qs, dm_eff)
+                                for Qn, Qs in zip(Qm_n_parts, Qm_s_parts))
+                    emits.append(A_l + B_l)
+                st_m = recurse(lc[j], st_m, am[j], bm[j], gm[j], l0_m, sv_m, sk_m)
+                if not single:
+                    st_p = recurse(lc[j], st_p, ap_[j], bp_[j], gp_[j], l0_p, sv_p, sk_p)
+            nout = len(emits[0])
+            return st_m + st_p, tuple(jnp.stack([e[i] for e in emits])
+                                      for i in range(nout))
+
+        xs = tuple(reshape_chunks(a) for a in (ls,) + tabs_m + tabs_p)
+        st0 = init_state(l0_m, sv_m, sk_m) + \
+            (init_state(l0_p, sv_p, sk_p) if not single else init_state(l0_m, sv_m, sk_m))
+        _, emits = jax.lax.scan(step_a, st0, xs)
+        flat = tuple(e.reshape((nchunks * CHUNK,) + e.shape[2:])[:lmaxp1] for e in emits)
+        A = jnp.moveaxis(join_parts(flat[:nparts]), 0, 1)
+        if single:
+            return A, A
+        B = jnp.moveaxis(join_parts(flat[nparts:]), 0, 1)
+        return A, B
+
+
+def _pair_tables(lmax, mmax, spin, theta_half, grid_token, dtype):
+    tok = None if grid_token is None else ('ns', grid_token)
+    t_m = recursion_tables(lmax, mmax, -spin, theta_half, grid_token=tok, dtype=dtype)
+    t_p = t_m if spin == 0 else \
+        recursion_tables(lmax, mmax, spin, theta_half, grid_token=tok, dtype=dtype)
+    return t_m, t_p
+
+
+def _run_pair(mode, data_p, data_m, spin, theta, lmax, grid_token, dtype):
+    """Dispatch the fused NS-pair scan; data_m may be None (single transform)."""
+    nrings = len(np.asarray(theta))
+    nh = (nrings + 1) // 2
+    theta_half = np.asarray(theta)[:nh]
+    mmax = data_p.shape[-1] - 1
+    t_m, t_p = _pair_tables(lmax, mmax, spin, theta_half, grid_token, dtype)
+    single = data_m is None
+    tb_m = _tabs_for(t_m, data_p)
+    tb_p = _tabs_for(t_p, data_p)
+    sgn_m = np.where(np.arange(mmax + 1) % 2 == 0, 1., -1.)
+    dummy = data_p if single else data_m
+    return _legendre_pair_ns(mode, t_m['S'], single, nrings,
+                             jnp.asarray(data_p), jnp.asarray(dummy), sgn_m,
+                             tb_m['alpha'], tb_m['beta'], tb_m['gamma'],
+                             tb_m['l0'], tb_m['seed_v'], tb_m['seed_k'],
+                             tb_p['alpha'], tb_p['beta'], tb_p['gamma'],
+                             tb_p['l0'], tb_p['seed_v'], tb_p['seed_k'], tb_m['x'])
+
+
+def _ns_enabled():
+    return __import__('os').environ.get('PLK_SHT_NS', '1') != '0'
+
+
+def legendre_synth_pair(Cp, Cm, spin, theta, grid_token=None, dtype=np.float64,
+                        engine='xla'):
+    """(Fp, Fm) = (sum_l Cp d^l_{m,-spin}, sum_l Cm d^l_{m,+spin}); Cm may be None
+    (then Fm is None). Uses the fused north-south path on symmetric grids
+    (PLK_SHT_NS=0 disables, falling back to two plain scans)."""
+    sym, _ = _sym_split(theta, grid_token=grid_token)
+    if engine != 'xla' or not sym or not _ns_enabled():
+        Fp = legendre_synth(Cp, -spin, theta, grid_token=grid_token, dtype=dtype,
+                            engine=engine)
+        Fm = None if Cm is None else legendre_synth(Cm, spin, theta,
+                                                    grid_token=grid_token, dtype=dtype,
+                                                    engine=engine)
+        return Fp, Fm
+    lmax = Cp.shape[-2] - 1
+    Fp, Fm = _run_pair('synth', Cp, Cm, spin, theta, lmax, grid_token, dtype)
+    return Fp, (None if Cm is None else Fm)
+
+
+def legendre_anal_pair(Qp, Qm, spin, theta, lmax, grid_token=None, dtype=np.float64,
+                       engine='xla'):
+    """(A, Bc) = (sum_j Qp d^l_{m,-spin}, sum_j Qm d^l_{m,+spin}); Qm may be None."""
+    sym, _ = _sym_split(theta, grid_token=grid_token)
+    if engine != 'xla' or not sym or not _ns_enabled():
+        A = legendre_anal(Qp, -spin, theta, lmax, grid_token=grid_token, dtype=dtype,
+                          engine=engine)
+        B = None if Qm is None else legendre_anal(Qm, spin, theta, lmax,
+                                                  grid_token=grid_token, dtype=dtype,
+                                                  engine=engine)
+        return A, B
+    A, B = _run_pair('anal', Qp, Qm, spin, theta, lmax, grid_token, dtype)
+    return A, (None if Qm is None else B)
+
+
 def legendre_synth(C, n, theta, grid_token=None, dtype=np.float64, engine='xla'):
     """G_{jm} = sum_l C_{lm} d^l_{m,n}(theta_j); C (batch, lmax+1, mmax+1) complex or real.
 

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from functools import partial
 
 from ...utils import alm as ualm
-from .core import legendre_synth, legendre_anal
+from .core import legendre_synth, legendre_anal, legendre_synth_pair, legendre_anal_pair
 from .geometry import RingGeometry, gl_geometry
 
 
@@ -110,16 +110,17 @@ class SHT:
         return self.geom.token()
 
     def _synth_pair(self, A, Abar, spin):
-        """F+ and F- theta-functions for all m >= 0 (see module docstring for math)."""
+        """F+ and F- theta-functions for all m >= 0 (see module docstring for math).
+
+        One fused Legendre call runs both the (-spin) and (+spin) recursions on the
+        northern half of a symmetric grid (core.legendre_synth_pair)."""
         lmax, mmax = self.lmax, self.mmax
         fac = _facl(lmax)[:, None]
         Cp = A * fac
         Cm = ((-1.) ** spin) * jnp.conj(Abar) * fac
-        th = self.geom.theta
-        Fp = legendre_synth(Cp, -spin, th, grid_token=self._tok(), dtype=self.dtype,
-                            engine=self.engine)
-        Fm = legendre_synth(Cm, spin, th, grid_token=self._tok(), dtype=self.dtype,
-                            engine=self.engine)
+        Fp, Fm = legendre_synth_pair(Cp, Cm, spin, self.geom.theta,
+                                     grid_token=self._tok(), dtype=self.dtype,
+                                     engine=self.engine)
         return Fp, Fm
 
     def _anal_pair(self, maps_c, spin):
@@ -128,12 +129,10 @@ class SHT:
         Gp, Gm = _from_rings(maps_c, mmax, self.geom.phi0)
         w = jnp.asarray(self.geom.weight)[:, None]
         fac = _facl(lmax)[:, None]
-        A = legendre_anal(Gp * w, -spin, self.geom.theta, lmax,
-                          grid_token=self._tok(), dtype=self.dtype,
-                          engine=self.engine) * fac
-        Bc = legendre_anal(Gm * w, spin, self.geom.theta, lmax,
-                           grid_token=self._tok(), dtype=self.dtype,
-                           engine=self.engine)
+        A, Bc = legendre_anal_pair(Gp * w, Gm * w, spin, self.geom.theta, lmax,
+                                   grid_token=self._tok(), dtype=self.dtype,
+                                   engine=self.engine)
+        A = A * fac
         B = ((-1.) ** spin) * jnp.conj(Bc) * fac
         return A, B
 
@@ -146,20 +145,27 @@ class SHT:
         tlm = jnp.asarray(tlm)
         batch_shape = tlm.shape[:-1]
         A = self._to_grid(tlm.reshape((-1, tlm.shape[-1])))
-        Fp = legendre_synth(A * _facl(self.lmax)[:, None], 0, self.geom.theta,
-                            grid_token=self._tok(), dtype=self.dtype,
-                            engine=self.engine)
+        Fp, _ = legendre_synth_pair(A * _facl(self.lmax)[:, None], None, 0,
+                                    self.geom.theta, grid_token=self._tok(),
+                                    dtype=self.dtype, engine=self.engine)
         Fm = jnp.conj(Fp)
         f = _to_rings(Fp, Fm, self.geom.nphi, self.geom.phi0).real
         return f.reshape(batch_shape + f.shape[-2:])
 
     def map2alm(self, m):
-        """Scalar alm from real map, exact quadrature."""
+        """Scalar alm from real map, exact quadrature.
+
+        Real input: the negative-m spectrum is the conjugate of the positive-m one, so a
+        single (spin-0) Legendre analysis suffices."""
         m = jnp.asarray(m)
         batch_shape = m.shape[:-2]
         mc = m.reshape((-1,) + m.shape[-2:]).astype(self.cdtype)
-        A, _ = self._anal_pair(mc, 0)
-        out = ualm.lm2alm(A, self.lmax)
+        Gp, _ = _from_rings(mc, self.mmax, self.geom.phi0)
+        w = jnp.asarray(self.geom.weight)[:, None]
+        A, _ = legendre_anal_pair(Gp * w, None, 0, self.geom.theta, self.lmax,
+                                  grid_token=self._tok(), dtype=self.dtype,
+                                  engine=self.engine)
+        out = ualm.lm2alm(A * _facl(self.lmax)[:, None], self.lmax)
         return out.reshape(batch_shape + out.shape[-1:])
 
     # ------------------------------------------------------------------ spin s

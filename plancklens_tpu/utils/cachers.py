@@ -55,3 +55,32 @@ class cacher_npy:
 
     def is_cached(self, fn):
         return os.path.exists(self._path(fn))
+
+
+class cacher_pk:
+    """Pickle-backed cacher for arbitrary python objects (tuples of arrays, dicts, stats
+    instances; reference: plancklens/helpers/cachers.py cacher_pk)."""
+
+    def __init__(self, lib_dir, verbose=False):
+        self.lib_dir = lib_dir
+        self.verbose = verbose
+        os.makedirs(lib_dir, exist_ok=True)
+
+    def _path(self, fn):
+        return os.path.join(self.lib_dir, fn + '.pk')
+
+    def cache(self, fn, obj):
+        import pickle
+        os.makedirs(os.path.dirname(self._path(fn)), exist_ok=True)
+        with open(self._path(fn), 'wb') as f:
+            pickle.dump(obj, f)
+        if self.verbose:
+            print('cached ' + self._path(fn))
+
+    def load(self, fn):
+        import pickle
+        with open(self._path(fn), 'rb') as f:
+            return pickle.load(f)
+
+    def is_cached(self, fn):
+        return os.path.exists(self._path(fn))
