@@ -269,14 +269,19 @@ class CinvT:
     def get_fmask(self):
         return np.where(self.filt.ninv > 0, 1., 0.)
 
-    def solve_wf(self, tmaps, x0=None):
-        """Rescaled Wiener solution of the system for (batch, nrings, nphi) maps."""
+    def solve_wf(self, tmaps, x0=None, monitor=None):
+        """Rescaled Wiener solution of the system for (batch, nrings, nphi) maps.
+
+        With `monitor` (e.g. ops/cg.monitor_basic) the solve runs host-driven with
+        per-iteration diagnostics instead of the jitted while_loop."""
         tmaps = jnp.asarray(tmaps)
         if tmaps.ndim == 2:
             tmaps = tmaps[None]
         b = self.calc_prep(tmaps)
         if x0 is None:
             x0 = jnp.zeros_like(b)
+        if monitor is not None:
+            return cg.pcg_monitored(self.fwd_op, self.pre_op, b, x0, self._ms, monitor)
         x, it, rel = cg.pcg(self.fwd_op, self.pre_op, b, x0, self.iter_max,
                             self.eps_min, self._ms)
         return x, it, rel

@@ -60,6 +60,63 @@ def pcg(fwd_op, pre_op, b, x0, iter_max, eps_min, ms):
     return x, it, rel
 
 
+class monitor_basic:
+    """Convergence monitor for the host-driven solver (role of reference
+    plancklens/qcinv/cd_monitors.py monitor_basic): records per-iteration relative
+    residuals, optionally printing and/or appending to a log file."""
+
+    def __init__(self, eps_min, iter_max=1000, verbose=False, logfile=None):
+        self.eps_min = eps_min
+        self.iter_max = iter_max
+        self.verbose = verbose
+        self.logfile = logfile
+        self.history = []
+        self._t0 = None
+
+    def __call__(self, it, rel):
+        import time as _time
+        if self._t0 is None:
+            self._t0 = _time.time()
+        rel = float(max(rel)) if hasattr(rel, '__len__') else float(rel)
+        self.history.append(rel)
+        line = '[%8.2fs] iter %4d  rel resid %.3e' % (_time.time() - self._t0, it, rel)
+        if self.verbose:
+            print(line)
+        if self.logfile is not None:
+            with open(self.logfile, 'a') as f:
+                f.write(line + '\n')
+        return rel < self.eps_min or it >= self.iter_max
+
+
+def pcg_monitored(fwd_op, pre_op, b, x0, ms, monitor):
+    """Host-driven PCG with a per-iteration monitor callback (diagnostics/logging path;
+    the production path is the jitted `pcg`). `monitor(it, rel_per_batch)` returns True
+    to stop. Returns (x, n_iter, rel_residual)."""
+    b = jnp.atleast_2d(b)
+    x = jnp.broadcast_to(jnp.atleast_2d(x0), b.shape)
+    b0 = jnp.maximum(dot_alm(b, b, ms), 1e-300)
+    r = b - fwd_op(x)
+    z = pre_op(r)
+    p = z
+    rz = dot_alm(r, z, ms)
+    it = 0
+    import numpy as np
+    rel = np.sqrt(np.asarray(dot_alm(r, r, ms) / b0))
+    while not monitor(it, rel):
+        Ap = fwd_op(p)
+        alpha = (rz / jnp.maximum(dot_alm(p, Ap, ms), 1e-300)).astype(b.real.dtype)
+        x = x + alpha[:, None] * p
+        r = r - alpha[:, None] * Ap
+        z = pre_op(r)
+        rz_new = dot_alm(r, z, ms)
+        beta = (rz_new / jnp.maximum(rz, 1e-300)).astype(b.real.dtype)
+        p = z + beta[:, None] * p
+        rz = rz_new
+        it += 1
+        rel = np.sqrt(np.asarray(dot_alm(r, r, ms) / b0))
+    return x, it, rel
+
+
 def pcg_fixed(fwd_op, pre_op, b, x0, n_iter, ms):
     """Fixed-iteration PCG (fori_loop) — used for inner multigrid-stage solves where the
     iteration count is part of the chain descriptor (reference:

@@ -298,6 +298,38 @@ def test_cinv_warm_start_reduces_iterations():
     assert np.allclose(tlm2, np.asarray(ivfs.get_sim_tlm(0)), rtol=1e-6, atol=0)
 
 
+def test_monitored_solve_matches_jitted():
+    """The host-driven monitored PCG must agree with the jitted while_loop solver and
+    record a decreasing residual history."""
+    from plancklens_tpu.models.cinv import CinvT
+    from plancklens_tpu.ops.cg import monitor_basic
+    lmax = 32
+    cls = camb_clfile(os.path.join(plancklens_tpu.DATAPATH, 'cls',
+                                   'FFP10_wdipole_lensedCls.dat'), lmax=lmax)
+    geom = gl_geometry(lmax)
+    sht = SHT(geom, lmax)
+    omega = np.outer(geom.weight, np.full(geom.nphi, 2 * np.pi / geom.nphi))
+    sig_pix = (30. / 60. / 180. * np.pi) / np.sqrt(omega)
+    rng = np.random.RandomState(41)
+    ls, ms = ualm._lm_indices(lmax)
+    a = (rng.standard_normal(len(ls)) + 1j * rng.standard_normal(len(ls))) / np.sqrt(2.)
+    a[ms == 0] = a[ms == 0].real * np.sqrt(2.)
+    tmap = np.asarray(sht.alm2map(a * np.sqrt(cls['tt'][ls]))) \
+        + rng.standard_normal(omega.shape) * sig_pix
+    ninv = (1. / sig_pix ** 2) * (np.abs(np.cos(geom.theta))[:, None] > 0.3)
+    cinv = CinvT(lmax, geom, cls, np.ones(lmax + 1), ninv, eps_min=1e-5, iter_max=300,
+                 lmax_dense=16, marge_monopole=False, marge_dipole=False)
+    x_jit, it_jit, rel_jit = cinv.solve_wf(tmap)
+    mon = monitor_basic(1e-5, iter_max=300)
+    x_mon, it_mon, rel_mon = cinv.solve_wf(tmap, monitor=mon)
+    assert len(mon.history) == it_mon + 1
+    assert mon.history[-1] < 1e-5
+    assert np.all(np.diff(np.log(np.maximum(mon.history, 1e-30)))[:5] < 1.)  # progresses
+    assert abs(it_mon - int(it_jit)) <= 2
+    scale = np.abs(np.asarray(x_jit)).max()
+    assert np.abs(np.asarray(x_mon) - np.asarray(x_jit)).max() < 1e-4 * scale
+
+
 def test_ninv_pol_template_deprojection():
     """Q/U template modes must be exactly nulled by the deprojected N^{-1}."""
     from plancklens_tpu.models.cinv import NinvFilterP
