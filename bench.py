@@ -145,22 +145,23 @@ def _bench_cinv():
         "sig = (35./60./180.*np.pi)/np.sqrt(omega)\n"
         "ninv = (1./sig**2)*(np.abs(np.cos(geom.theta))[:,None] > 0.2)\n"
         "cinv = CinvT(lmax, geom, cls, np.ones(lmax+1), ninv, eps_min=1e-5,"
-        " iter_max=800, lmax_dense=48, marge_monopole=False, marge_dipole=False)\n"
+        " iter_max=800, lmax_dense=32, marge_monopole=False, marge_dipole=False)\n"
         "rng = np.random.RandomState(3)\n"
         "tmap = rng.standard_normal((2, geom.nrings, geom.nphi))*sig[None]\n"
         "x, it, rel = cinv.solve_wf(tmap)\n"
         "print(int(np.asarray(it)), float(np.asarray(rel).max()))\n"
         % os.path.dirname(os.path.abspath(__file__)))
-    iters, rel = 150, float('nan')
+    iters, rel = None, None
     try:
         env = {k: v for k, v in os.environ.items() if k != 'PYTHONPATH'}
         out = subprocess.run([sys.executable, '-c', code], capture_output=True, text=True,
-                             timeout=900, env=env)
+                             timeout=1200, env=env)
         iters_s, rel_s = out.stdout.strip().splitlines()[-1].split()
         iters, rel = int(iters_s), float(rel_s)
     except Exception:
         pass
-    return per_iter * iters, iters, rel, per_iter * 1e3
+    est = per_iter * iters if iters else None
+    return est, iters, rel, per_iter * 1e3
 
 
 def _cpu_spin2_ms():
@@ -204,7 +205,7 @@ def main():
     cinv_sec, cinv_it, cinv_rel, cinv_iter_ms = _bench_cinv()
     # per-sim cost of the run_qlms filt+qe stages: one cinv solve (at the benchmarked
     # quarter-scale size) + one QE
-    sims_per_hour = 3600. / (cinv_sec + qe_sec)
+    sims_per_hour = round(3600. / (cinv_sec + qe_sec), 1) if cinv_sec else None
     cpu_ms = _cpu_spin2_ms() if CPU_PROBE else None
 
     out = {
@@ -225,10 +226,10 @@ def main():
             'cinv_tpu_ms_per_cg_iter_lmax1024': round(cinv_iter_ms, 2),
             'cinv_iters_to_1e-5_cpu_lmax192_masked': cinv_it,
             'cinv_cpu_final_rel_resid': cinv_rel,
-            'cinv_masked_sec_to_1e-5_estimate': round(cinv_sec, 2),
+            'cinv_masked_sec_to_1e-5_estimate': round(cinv_sec, 2) if cinv_sec else None,
             'qe_ptt_sec_per_est_lmax2048': round(qe_sec, 3),
             'qe_ptt_alms_per_sec_lmax2048': round(qe_per_sec, 3),
-            'sims_per_hour_filt_plus_qe': round(sims_per_hour, 1),
+            'sims_per_hour_filt_plus_qe': sims_per_hour,
             'device': str(jax.devices()[0]),
         },
     }
