@@ -66,6 +66,81 @@ def n1_continuum(L, key, n_r, n_phi, np_r, np_phi, lpmax=120.):
             tot += pref_v[i] * inner
     return 0.25 * tot / (2.*np.pi)**4
 
+# ---------------------------------------------------------------- general (jtp) version
+def clee(l):
+    return 0.3 / (l * (l + 1.) + 1.)
+
+
+def clte(l):
+    return 0.15 / (l * (l + 1.) + 1.)
+
+
+def W_gen(key, ax, bx, ay, by):
+    """Flat-sky QE weight W^key(a, b) for key = source + field pair, from the paper's
+    lensing response f_(XY) forms (same math as n1f.f90:1-99, written independently).
+    Same (x1, x2, y1, y2) argument order as W."""
+    La, Lb = ax + bx, ay + by
+    dot_a = La * ax + Lb * ay
+    dot_b = La * bx + Lb * by
+    la = np.sqrt(ax * ax + ay * ay)
+    lb = np.sqrt(bx * bx + by * by)
+    dot12 = ax * bx + ay * by
+    cross12 = -ay * bx + ax * by
+    denom = np.maximum(la * la * lb * lb, 1e-30)
+    cos2p = 2. * dot12 ** 2 / denom - 1.
+    sin2p = 2. * dot12 * cross12 / denom
+    if key == 'ptt':
+        return cltt(la) * dot_a + cltt(lb) * dot_b
+    if key == 'pee':
+        return (clee(la) * dot_a + clee(lb) * dot_b) * cos2p
+    if key == 'pte':
+        return clte(la) * cos2p * dot_a + clte(lb) * dot_b
+    if key == 'pet':
+        return clte(lb) * cos2p * dot_b + clte(la) * dot_a
+    if key == 'peb':
+        return clee(la) * dot_a * sin2p
+    if key == 'stt':
+        return np.ones_like(ax)
+    raise ValueError(key)
+
+
+def n1_jtp_continuum(L, kA, kB, k13, k24, k14, k23, F1, F2, F3, F4,
+                     n_r, n_phi, np_r, np_phi, lpmax=120.):
+    """General-pairing continuum N1: distinct source-coupling keys and filter functions
+    per leg slot (the joint-TP structure of n1f.f90:280-396 / ops/n1kern.n1L_jtp)."""
+    r1 = np.linspace(LMIN, LMAX, n_r + 1); r1 = 0.5*(r1[1:]+r1[:-1]); dr1 = (LMAX-LMIN)/n_r
+    p1 = 2.*np.pi*np.arange(n_phi)/n_phi; dp1 = 2.*np.pi/n_phi
+    rp = np.linspace(1., lpmax, np_r + 1); rp = 0.5*(rp[1:]+rp[:-1]); drp = (lpmax-1.)/np_r
+    pp = 2.*np.pi*np.arange(np_phi)/np_phi; dpp = 2.*np.pi/np_phi
+    ppx = (rp[:,None]*np.cos(pp)[None,:]).ravel()
+    ppy = (rp[:,None]*np.sin(pp)[None,:]).ravel()
+    wlp = ((rp*drp*dpp)[:,None] * clpp(rp)[:,None] * np.ones((1,np_phi))).ravel()
+    tot = 0.
+    for l1r in r1:
+        l1x_v = l1r*np.cos(p1); l1y_v = l1r*np.sin(p1)
+        l2x_v = L - l1x_v; l2y_v = -l1y_v
+        wA_v = W_gen(kA, l1x_v, l2x_v, l1y_v, l2y_v)
+        pref_v = wA_v * F1(np.full_like(l1x_v, l1r)) * F2(np.sqrt(l2x_v**2+l2y_v**2)) \
+            * (l1r*dr1*dp1)
+        for i in np.flatnonzero(pref_v):
+            l1x, l1y, l2x, l2y = l1x_v[i], l1y_v[i], l2x_v[i], l2y_v[i]
+            l3x = ppx - l1x; l3y = ppy - l1y
+            l4x = -L - l3x; l4y = -l3y
+            o1x = np.full_like(l3x, l1x); o1y = np.full_like(l3y, l1y)
+            o2x = np.full_like(l3x, l2x); o2y = np.full_like(l3y, l2y)
+            w13 = W_gen(k13, o1x, l3x, o1y, l3y)
+            w24 = W_gen(k24, o2x, l4x, o2y, l4y)
+            w14 = W_gen(k14, o1x, l3x, o1y, l3y)
+            w23 = W_gen(k23, o2x, l4x, o2y, l4y)
+            wB1 = W_gen(kB, l3x, l4x, l3y, l4y)
+            wB2 = W_gen(kB, l4x, l3x, l4y, l3y)
+            F3a, F4a = F3(np.sqrt(l3x**2+l3y**2)), F4(np.sqrt(l4x**2+l4y**2))
+            F3b, F4b = F3(np.sqrt(l4x**2+l4y**2)), F4(np.sqrt(l3x**2+l3y**2))
+            inner = np.dot(wB1*w13*w24*F3a*F4a + wB2*w14*w23*F3b*F4b, wlp)
+            tot += pref_v[i] * inner
+    return 0.25 * tot / (2.*np.pi)**4
+
+
 if __name__ == '__main__':
     anchors = [(20., 'p'), (40., 'p'), (30., 's'), (30., 'x')]
     for L, key in anchors:
