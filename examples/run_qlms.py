@@ -52,8 +52,24 @@ def main():
 
     if args.mesh:
         from plancklens_tpu.parallel import make_mesh
+        from plancklens_tpu.parallel.mesh import ShardedIVFS
         mesh = make_mesh()
         print('mesh:', mesh)
+        # shard every filtered batch over 'sims': the QE/qcl stages consume these arrays
+        # inside jitted programs, which then run distributed
+        wrapped = {}
+
+        def _wrap(ivfs):
+            if id(ivfs) not in wrapped:
+                wrapped[id(ivfs)] = ShardedIVFS(ivfs, mesh)
+            return wrapped[id(ivfs)]
+
+        par.ivfs = _wrap(par.ivfs)
+        for lib in (par.qlms_dd, getattr(par, 'qlms_ds', None),
+                    getattr(par, 'qlms_ss', None)):
+            if lib is not None:
+                lib.ivfs1 = _wrap(lib.ivfs1)
+                lib.ivfs2 = _wrap(lib.ivfs2)
 
     if 'filt' in stages:
         t0 = time.time()

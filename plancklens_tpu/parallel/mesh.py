@@ -41,3 +41,28 @@ def maps_sharding(mesh):
 def shard_batch(mesh, arr):
     """Place a batched array with its leading axis sharded over 'sims'."""
     return jax.device_put(arr, sims_sharding(mesh, np.ndim(arr)))
+
+
+class ShardedIVFS:
+    """ivfs adapter whose batched outputs are placed sims-sharded on a mesh, so every
+    downstream batched stage (QE evaluation, spectra) runs distributed — the driver's
+    --mesh mechanism (role of the reference's `jobs[rank::size]` striding,
+    examples/run_qlms.py:57)."""
+
+    def __init__(self, ivfs, mesh):
+        self._ivfs = ivfs
+        self._mesh = mesh
+
+    def __getattr__(self, name):
+        return getattr(self._ivfs, name)
+
+    def hashdict(self):
+        return self._ivfs.hashdict()
+
+    def get_sim_teblm_batch(self, idxs):
+        t, e, b = self._ivfs.get_sim_teblm_batch(idxs)
+        n_sims = self._mesh.shape['sims']
+        if t.shape[0] % n_sims:  # e.g. small mean-field splits: leave replicated
+            return t, e, b
+        return (shard_batch(self._mesh, t), shard_batch(self._mesh, e),
+                shard_batch(self._mesh, b))

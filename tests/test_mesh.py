@@ -64,6 +64,36 @@ def test_sharded_qe_batch_matches_unsharded():
     assert len(shards) == 8 and all(s.data.shape[0] == 1 for s in shards)
 
 
+def test_sharded_ivfs_adapter_matches_and_distributes():
+    """The ShardedIVFS adapter (the driver's --mesh mechanism) must leave QE batch
+    results unchanged while actually distributing the filtered batches."""
+    import os
+    import importlib.util
+    from plancklens_tpu.parallel.mesh import ShardedIVFS
+    os.environ['PLK_LMAX_IVF'] = '64'
+    os.environ['PLK_LMAX_QLM'] = '64'
+    os.environ['PLK_NSIMS'] = '8'
+    spec = importlib.util.spec_from_file_location(
+        'parfile_mesh_test',
+        os.path.join(os.path.dirname(__file__), '..', 'params', 'idealized_example.py'))
+    par = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(par)
+    idxs = np.arange(8)
+    qlm_ref = np.asarray(par.qlms_dd.get_sim_qlm_batch('ptt', idxs))
+    mesh = make_mesh(n_sims=8, n_m=1)
+    with mesh:
+        wrapped = ShardedIVFS(par.qlms_dd.ivfs1, mesh)
+        t, e, b = wrapped.get_sim_teblm_batch(idxs)
+        assert len(t.addressable_shards) == 8
+        assert all(s.data.shape[0] == 1 for s in t.addressable_shards)
+        par.qlms_dd.ivfs1 = wrapped
+        par.qlms_dd.ivfs2 = wrapped
+        qlm_sh = par.qlms_dd.get_sim_qlm_batch('ptt', idxs)
+    assert np.abs(np.asarray(qlm_sh) - qlm_ref).max() <= 1e-10 * np.abs(qlm_ref).max()
+    # interface passthrough
+    assert np.all(wrapped.get_ftl() == par.qlms_dd.ivfs1.get_ftl())
+
+
 @pytest.mark.slow
 def test_sharded_cinv_batch_converges_and_matches():
     """A batched masked cinv solve sharded over 'sims' converges to the same solution."""
