@@ -283,6 +283,48 @@ class ExternalAlmLib:
         return t, e, b
 
 
+class AlmNlevLib:
+    """Beam-convolved observations from ANY harmonic sim library + homogeneous white
+    noise (role of reference plancklens/sims/planck2018_sims.py:122-158 ffp10cmb_widnoise:
+    noise-free CMB alms — e.g. an ExternalAlmLib over FFP10 products — re-observed with a
+    chosen white noise level). Noise is deterministic per (seed, idx)."""
+
+    def __init__(self, alm_lib, lmax, transf, nlev_t, nlev_p, seed=3000):
+        self.alm_lib = alm_lib
+        self.lmax = lmax
+        self.transf = np.asarray(transf)[:lmax + 1]
+        self.nlev_t = nlev_t
+        self.nlev_p = nlev_p
+        self.seed = seed
+        self._ls, _ = ualm._lm_indices(lmax)
+
+    def hashdict(self):
+        return {'alms': self.alm_lib.hashdict(), 'transf': clhash(self.transf),
+                'nlev_t': self.nlev_t, 'nlev_p': self.nlev_p, 'seed': self.seed}
+
+    def _obs(self, alm, idx, field_tag, nlev):
+        alm = ualm.alm_copy(jnp.asarray(alm), ualm.getlmax(alm.shape[-1]), self.lmax)
+        key = jax.random.fold_in(jax.random.PRNGKey(self.seed), (idx + 2) * 8 + field_tag)  # idx -1 = data
+        noise = unit_phases(key, 1, self.lmax)[0] * (nlev / 60. / 180. * np.pi)
+        return ualm.almxfl(alm, self.lmax, jnp.asarray(self.transf)) + noise
+
+    def get_sim_tlm(self, idx):
+        return self._obs(self.alm_lib.get_sim_tlm(idx), idx, 0, self.nlev_t)
+
+    def get_sim_elm(self, idx):
+        return self._obs(self.alm_lib.get_sim_elm(idx), idx, 1, self.nlev_p)
+
+    def get_sim_blm(self, idx):
+        return self._obs(self.alm_lib.get_sim_blm(idx), idx, 2, self.nlev_p)
+
+    def get_sim_teblm_batch(self, idxs):
+        idxs = np.atleast_1d(idxs)
+        t = jnp.stack([self.get_sim_tlm(int(i)) for i in idxs])
+        e = jnp.stack([self.get_sim_elm(int(i)) for i in idxs])
+        b = jnp.stack([self.get_sim_blm(int(i)) for i in idxs])
+        return t, e, b
+
+
 class SimLibShuffle:
     """Index-remapped view of a sim library (reference: plancklens/sims/utils.py:3-17)."""
 

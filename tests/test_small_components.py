@@ -68,3 +68,32 @@ def test_qecl_average():
     assert np.allclose(avg.get_sim_qcl('ptt', 0), 2.)
     st = avg.get_sim_stats_qcl('ptt', [0, 1, 2])
     assert np.allclose(st.mean(), 2.)
+
+
+def test_alm_nlev_lib_widnoise():
+    """AlmNlevLib (widnoise-style re-observation of external alms): spectra must match
+    b^2 C + N and realisations must be deterministic per index."""
+    import numpy as np
+    import plancklens_tpu, os
+    from plancklens_tpu.utils import camb_clfile, alm as ualm
+    from plancklens_tpu.models.sims import CMBUnlLib, AlmNlevLib
+    lmax = 64
+    cls = camb_clfile(os.path.join(plancklens_tpu.DATAPATH, 'cls',
+                                   'FFP10_wdipole_lensedCls.dat'), lmax=lmax)
+    cmb = CMBUnlLib(cls, lmax, fields='teb')  # stands in for an ExternalAlmLib
+    transf = np.exp(-0.01 * np.arange(lmax + 1))
+    nlev_t = 30.
+    lib = AlmNlevLib(cmb, lmax, transf, nlev_t, 40. * np.sqrt(2))
+    t0 = np.asarray(lib.get_sim_tlm(3))
+    assert np.allclose(t0, np.asarray(lib.get_sim_tlm(3)))  # deterministic
+    assert not np.allclose(t0, np.asarray(lib.get_sim_tlm(4)))
+    nt2 = (nlev_t / 60. / 180. * np.pi) ** 2
+    expect = transf ** 2 * cls['tt'][:lmax + 1] + nt2
+    cl = np.zeros(lmax + 1)
+    nmc = 40
+    for i in range(nmc):
+        cl += np.asarray(ualm.alm2cl(lib.get_sim_tlm(i), lmax)) / nmc
+    sel = slice(5, lmax)
+    assert np.allclose(cl[sel], expect[sel], rtol=0.25)
+    t, e, b = lib.get_sim_teblm_batch(np.arange(3))
+    assert t.shape == (3, ualm.getsize(lmax))
