@@ -66,7 +66,19 @@ ninv_p = sims.ninv_p() * mask
 cinv_t = CinvT(lmax_ivf, geom, cl_len, transf, ninv_t,
                marge_monopole=True, marge_dipole=True, eps_min=1e-5)
 cinv_p = CinvP(lmax_ivf, geom, cl_len, transf, ninv_p, eps_min=1e-5)
-ivfs_raw = IVFCinv(cinv_t, cinv_p, sims, cl_len)
+# PLK_CACHE_DIR makes filtered alms + CG solutions restartable (warm starts on re-runs)
+_CACHE_DIR = os.environ.get('PLK_CACHE_DIR')
+
+
+def _cacher(sub):
+    if _CACHE_DIR:
+        from plancklens_tpu.utils.cachers import cacher_npy
+        return cacher_npy(os.path.join(_CACHE_DIR, sub))
+    return None
+
+
+ivfs_raw = IVFCinv(cinv_t, cinv_p, sims, cl_len, cacher=_cacher('ivfs'),
+                   soltn_cacher=_cacher('cg_soltns'))
 
 ls = np.arange(lmax_ivf + 1)
 ftl = (ls >= lmin_ivf) * 1.
@@ -83,9 +95,9 @@ ivfs_d = IVFShuffle(ivfs, ds_dict)
 ivfs_s = IVFShuffle(ivfs, ss_dict)
 
 # --------------------------------------------------------------------- QE libraries
-qlms_dd = QELib(ivfs, ivfs, cl_weight, lmax_ivf, lmax_qlm)
-qlms_ds = QELib(ivfs, ivfs_d, cl_weight, lmax_ivf, lmax_qlm)
-qlms_ss = QELib(ivfs, ivfs_s, cl_weight, lmax_ivf, lmax_qlm)
+qlms_dd = QELib(ivfs, ivfs, cl_weight, lmax_ivf, lmax_qlm, cacher=_cacher('qlms_dd'))
+qlms_ds = QELib(ivfs, ivfs_d, cl_weight, lmax_ivf, lmax_qlm, cacher=_cacher('qlms_ds'))
+qlms_ss = QELib(ivfs, ivfs_s, cl_weight, lmax_ivf, lmax_qlm, cacher=_cacher('qlms_ss'))
 
 mc_sims_bias = np.arange(nsims // 5, dtype=int)
 mc_sims_var = np.arange(nsims // 5, nsims, dtype=int)

@@ -29,6 +29,18 @@ NLEV_T = 35.
 NLEV_P = 35. * np.sqrt(2.)
 NSIMS = int(os.environ.get('PLK_NSIMS', 64))
 
+# optional persistent product store: set PLK_CACHE_DIR to make every expensive product
+# (QE alms, spectra, responses) restartable across runs (reference role: the lib_dir
+# filesystem caches of params/idealized_example.py); unset -> in-memory caches
+_CACHE_DIR = os.environ.get('PLK_CACHE_DIR')
+
+
+def _cacher(sub):
+    if _CACHE_DIR:
+        from plancklens_tpu.utils.cachers import cacher_npy
+        return cacher_npy(os.path.join(_CACHE_DIR, sub))
+    return None
+
 cls_path = os.path.join(plancklens_tpu.DATAPATH, 'cls')
 cl_unl = camb_clfile(os.path.join(cls_path, 'FFP10_wdipole_lenspotentialCls.dat'))
 cl_len = camb_clfile(os.path.join(cls_path, 'FFP10_wdipole_lensedCls.dat'), lmax=LMAX_IVF)
@@ -54,9 +66,9 @@ ivfs_d = IVFShuffle(ivfs, ds_dict)
 ivfs_s = IVFShuffle(ivfs, ss_dict)
 
 # --- QEs and their spectra
-qlms_dd = QELib(ivfs, ivfs, cl_len, LMAX_IVF, LMAX_QLM)
-qlms_ds = QELib(ivfs, ivfs_d, cl_len, LMAX_IVF, LMAX_QLM)
-qlms_ss = QELib(ivfs, ivfs_s, cl_len, LMAX_IVF, LMAX_QLM)
+qlms_dd = QELib(ivfs, ivfs, cl_len, LMAX_IVF, LMAX_QLM, cacher=_cacher('qlms_dd'))
+qlms_ds = QELib(ivfs, ivfs_d, cl_len, LMAX_IVF, LMAX_QLM, cacher=_cacher('qlms_ds'))
+qlms_ss = QELib(ivfs, ivfs_s, cl_len, LMAX_IVF, LMAX_QLM, cacher=_cacher('qlms_ss'))
 
 mc_sims_bias = np.arange(NSIMS // 2)
 mc_sims_var = np.arange(NSIMS // 2, NSIMS)
@@ -64,12 +76,15 @@ mc_sims_mf_dd = mc_sims_bias
 mc_sims_mf_ds = np.array([], dtype=int)
 mc_sims_mf_ss = np.array([], dtype=int)
 
-qcls_dd = QeClLib(qlms_dd, qlms_dd, mc_sims_mf_dd, lmax_qlm=LMAX_QLM)
-qcls_ds = QeClLib(qlms_ds, qlms_ds, mc_sims_mf_ds, lmax_qlm=LMAX_QLM)
-qcls_ss = QeClLib(qlms_ss, qlms_ss, mc_sims_mf_ss, lmax_qlm=LMAX_QLM)
+qcls_dd = QeClLib(qlms_dd, qlms_dd, mc_sims_mf_dd, lmax_qlm=LMAX_QLM,
+                  cacher=_cacher('qcls_dd'))
+qcls_ds = QeClLib(qlms_ds, qlms_ds, mc_sims_mf_ds, lmax_qlm=LMAX_QLM,
+                  cacher=_cacher('qcls_ds'))
+qcls_ss = QeClLib(qlms_ss, qlms_ss, mc_sims_mf_ss, lmax_qlm=LMAX_QLM,
+                  cacher=_cacher('qcls_ss'))
 
 # --- analytic layers
 fal = {'tt': ftl, 'ee': fel, 'bb': fbl}
-qresp_dd = RespLib(LMAX_IVF, cl_len, cl_len, fal, LMAX_QLM)
-nhl_dd = NhlLib(ivfs, cl_len, LMAX_QLM)
+qresp_dd = RespLib(LMAX_IVF, cl_len, cl_len, fal, LMAX_QLM, cacher=_cacher('qresp'))
+nhl_dd = NhlLib(ivfs, cl_len, LMAX_QLM, cacher=_cacher('nhl'))
 n1_dd = N1Lib(cl_len['tt'], cl_len['te'], cl_len['ee'], lmaxphi=2048)
