@@ -173,3 +173,34 @@ def test_binner_bil_parity():
     assert bl[0] == 8 and bu[-1] == 400 and len(bl) == len(bu) == len(bc) == 9
     bl, bu, bc = get_blbubc('10_20_40')
     assert np.all(bl == [10, 20]) and np.all(bu == [19, 40])
+
+
+def test_mf_resp_consistency():
+    """get_mf_resp bookkeeping and scaling: the returned GL must equal the sum of its
+    reported terms, the constant-deflection gauge condition must hold (CL * fac vanishes
+    at L = 1), and the connected family must scale linearly in the ivf spectra while the
+    Fisher family scales quadratically."""
+    import os
+    import plancklens_tpu
+    from plancklens_tpu.utils.cls import camb_clfile, cli
+    from plancklens_tpu.models.qresp import get_mf_resp
+    lmax_qe, lmax_out = 80, 100
+    cls = camb_clfile(os.path.join(plancklens_tpu.DATAPATH, 'cls',
+                                   'FFP10_wdipole_lensedCls.dat'), lmax=160)
+    nt2 = (35. / 60. / 180. * np.pi) ** 2
+    for key, diag in [('ptt', ['tt']), ('p_p', ['ee', 'bb'])]:
+        ivfs = {k: cli(cls[k][:lmax_qe + 1] + nt2) for k in diag}
+        GL, CL, terms = get_mf_resp(key, cls, ivfs, lmax_qe, lmax_out, retterms=True)
+        assert np.all(np.isfinite(GL)) and np.all(np.isfinite(CL))
+        total = terms['GK'] + terms['GxiK'] + terms['Gcons']
+        assert np.allclose(GL, total, rtol=1e-12), key
+        assert abs(CL[1]) <= 1e-10 * max(np.abs(CL).max(), 1e-300), key
+        # scaling structure: GL(eps * ivfs) = eps * linear + eps^2 * quadratic
+        eps = 1e-3
+        GL1 = get_mf_resp(key, cls, {k: eps * v for k, v in ivfs.items()},
+                          lmax_qe, lmax_out)[0]
+        GL2 = get_mf_resp(key, cls, {k: 2 * eps * v for k, v in ivfs.items()},
+                          lmax_qe, lmax_out)[0]
+        sel = slice(2, lmax_out)
+        ratio = GL2[sel] / GL1[sel]
+        assert np.all(np.abs(ratio - 2.) < 0.05), (key, ratio[:5])
