@@ -65,7 +65,8 @@ ninv_p = sims.ninv_p() * mask
 
 cinv_t = CinvT(lmax_ivf, geom, cl_len, transf, ninv_t,
                marge_monopole=True, marge_dipole=True, eps_min=1e-5)
-cinv_p = CinvP(lmax_ivf, geom, cl_len, transf, ninv_p, eps_min=1e-5)
+cinv_p = CinvP(lmax_ivf, geom, cl_len, transf, ninv_p, eps_min=1e-5,
+               lmax_dense=32)  # coupled E/B dense block (see docs/PERF.md table)
 # PLK_CACHE_DIR makes filtered alms + CG solutions restartable (warm starts on re-runs)
 _CACHE_DIR = os.environ.get('PLK_CACHE_DIR')
 
