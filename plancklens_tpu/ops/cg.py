@@ -15,17 +15,29 @@ import jax.numpy as jnp
 
 def dot_alm(alm1, alm2, ms):
     """Scalar product sum_lm (2 - delta_m0) Re(a1 a2*) == sum_l (2l+1) cl_l(a1, a2)
-    (reference: plancklens/qcinv/opfilt_tt.py:43-51). ms: m of each triangular entry."""
+    (reference: plancklens/qcinv/opfilt_tt.py:43-51). ms: m of each triangular entry.
+
+    Accumulated at f64 where the backend allows it (CPU/x64): the f32 CG is otherwise
+    limited by round-off in these reductions near rel. resid ~1e-5."""
     w = jnp.where(ms == 0, 1., 2.)
-    return jnp.sum(w * (alm1 * jnp.conj(alm2)).real, axis=-1)
+    prod = (alm1 * jnp.conj(alm2)).real
+    acc = prod.astype(jnp.float64) if jax.config.jax_enable_x64 else prod
+    return jnp.sum(w * acc, axis=-1).astype(prod.dtype)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 4, 5))
-def pcg(fwd_op, pre_op, b, x0, iter_max, eps_min, ms):
+@partial(jax.jit, static_argnums=(0, 1, 4, 5, 7))
+def pcg(fwd_op, pre_op, b, x0, iter_max, eps_min, ms, roundoff=25):
     """Solve fwd_op(x) = b by PCG. Returns (x, n_iter, rel_residual).
 
     fwd_op, pre_op: callables on (batch, nalm) complex arrays (traced once).
     Convergence: sqrt(<r,r>/<b,b>) < eps_min on every batch element.
+
+    Every `roundoff` iterations the true residual r = b - A x is recomputed (residual
+    replacement, the reference's round-off policy, cd_solve.py:82-86) so the recurred
+    residual cannot drift from the true one; the conjugate direction is kept. Measured
+    on the masked lmax-192 f32 system: convergence is operator-noise-limited either way
+    (~770 f32 iterations vs ~80 in f64; see docs/PERF.md), the replacement guards
+    correctness of the reported residual at ~4% extra cost.
     """
     b = jnp.atleast_2d(b)
     x0 = jnp.broadcast_to(jnp.atleast_2d(x0), b.shape)
@@ -48,7 +60,11 @@ def pcg(fwd_op, pre_op, b, x0, iter_max, eps_min, ms):
         pAp = dot_alm(p, Ap, ms)
         alpha = (rz / jnp.maximum(pAp, 1e-300)).astype(b.real.dtype)
         x = x + alpha[:, None] * p
-        r = r - alpha[:, None] * Ap
+        refresh = (roundoff > 0) & ((it + 1) % roundoff == 0)
+        # residual replacement only: the conjugate direction is kept (a full restart
+        # destroys the Krylov history and measurably slows convergence)
+        r = jax.lax.cond(refresh, lambda: b - fwd_op(x),
+                         lambda: r - alpha[:, None] * Ap)
         z = pre_op(r)
         rz_new = dot_alm(r, z, ms)
         beta = (rz_new / jnp.maximum(rz, 1e-300)).astype(b.real.dtype)
