@@ -318,7 +318,7 @@ def test_monitored_solve_matches_jitted():
         + rng.standard_normal(omega.shape) * sig_pix
     ninv = (1. / sig_pix ** 2) * (np.abs(np.cos(geom.theta))[:, None] > 0.3)
     cinv = CinvT(lmax, geom, cls, np.ones(lmax + 1), ninv, eps_min=1e-5, iter_max=300,
-                 lmax_dense=16, marge_monopole=False, marge_dipole=False)
+                 lmax_dense=0, marge_monopole=False, marge_dipole=False)
     x_jit, it_jit, rel_jit = cinv.solve_wf(tmap)
     mon = monitor_basic(1e-5, iter_max=300)
     x_mon, it_mon, rel_mon = cinv.solve_wf(tmap, monitor=mon)
