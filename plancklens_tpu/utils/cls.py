@@ -16,31 +16,30 @@ _TEB = ('t', 'e', 'b')
 _KEYS6 = ('tt', 'ee', 'bb', 'te', 'tb', 'eb')
 
 
-def camb_clfile(fname, lmax=None):
-    """Load a CAMB spectra file (lensedCls / lenspotentialCls / tensCls layout) as a dict.
+# CAMB output column layout: key and the power p of the l(l+1) prefactor CAMB applies,
+# column i+1 holds (l(l+1))^p C_l / 2pi (lensedCls/tensCls files carry the first four
+# columns, lenspotentialCls files all seven)
+_CAMB_COLUMNS = (('tt', 1.), ('ee', 1.), ('bb', 1.), ('te', 1.),
+                 ('pp', 2.), ('pt', 1.5), ('pe', 1.5))
 
-    Columns are D_l = l(l+1)C_l/2pi for TT EE BB TE; lens-potential files add
-    [l(l+1)]^2 C^pp/2pi and [l(l+1)]^{3/2} C^pT, C^pE / 2pi.
-    """
-    cols = np.loadtxt(fname).transpose()
-    ell = cols[0].astype(int)
+
+def camb_clfile(fname, lmax=None):
+    """Load a CAMB spectra file (lensedCls / lenspotentialCls / tensCls layout) as a dict
+    of bare C_l arrays indexed by multipole (entries below the file's first l are zero)."""
+    data = np.atleast_2d(np.loadtxt(fname))
+    ls = data[:, 0].astype(int)
     if lmax is None:
-        lmax = ell[-1]
-    assert ell[-1] >= lmax, (ell[-1], lmax)
-    cls = {k: np.zeros(lmax + 1, dtype=float) for k in ['tt', 'ee', 'bb', 'te']}
-    w = ell * (ell + 1) / (2. * np.pi)
-    idc = np.where(ell <= lmax)
-    for i, k in enumerate(['tt', 'ee', 'bb', 'te']):
-        cls[k][ell[idc]] = cols[i + 1][idc] / w[idc]
-    if len(cols) > 5:
-        lf = ell[idc].astype(float)
-        cls['pp'] = np.zeros(lmax + 1, dtype=float)
-        cls['pt'] = np.zeros(lmax + 1, dtype=float)
-        cls['pe'] = np.zeros(lmax + 1, dtype=float)
-        cls['pp'][ell[idc]] = cols[5][idc] / (lf ** 2 * (lf + 1.) ** 2 / (2. * np.pi))
-        cls['pt'][ell[idc]] = cols[6][idc] / (np.sqrt(lf ** 3 * (lf + 1.) ** 3) / (2. * np.pi))
-        cls['pe'][ell[idc]] = cols[7][idc] / (np.sqrt(lf ** 3 * (lf + 1.) ** 3) / (2. * np.pi))
-    return cls
+        lmax = int(ls[-1])
+    assert int(ls[-1]) >= lmax, (ls[-1], lmax)
+    keep = ls <= lmax
+    ls = ls[keep]
+    dlfac = (ls * (ls + 1.)) / (2. * np.pi)  # p = 1 prefactor; higher p via powers
+    out = {}
+    for col, (key, p) in enumerate(_CAMB_COLUMNS[:data.shape[1] - 1], start=1):
+        cl = np.zeros(lmax + 1, dtype=float)
+        cl[ls] = data[keep, col] / (dlfac ** p * (2. * np.pi) ** (p - 1.))
+        out[key] = cl
+    return out
 
 
 def cli(cl):
