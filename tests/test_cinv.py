@@ -9,7 +9,7 @@ from plancklens_tpu.utils import camb_clfile, cli, alm as ualm
 from plancklens_tpu.ops.sht import SHT, gl_geometry
 from plancklens_tpu.models.cinv import CinvT
 
-LMAX = 64
+LMAX = 48
 
 
 def _cls():

@@ -16,7 +16,7 @@ from plancklens_tpu.models.sims import CMBUnlLib, MapsNlevLib
 from plancklens_tpu.models.filt import IVFSepTP
 from plancklens_tpu.models.qest import QELib
 
-LMAX = 96
+LMAX = 72
 LMIN = 8
 NSIMS = 6
 NLEV_T = 35.
