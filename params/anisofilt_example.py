@@ -63,10 +63,6 @@ for zc, pc, r in ((0.6, 1.0, 0.05), (-0.5, 4.0, 0.04), (0.3, 2.5, 0.03)):
 ninv_t = sims.ninv_t() * mask
 ninv_p = sims.ninv_p() * mask
 
-cinv_t = CinvT(lmax_ivf, geom, cl_len, transf, ninv_t,
-               marge_monopole=True, marge_dipole=True, eps_min=1e-5)
-cinv_p = CinvP(lmax_ivf, geom, cl_len, transf, ninv_p, eps_min=1e-5,
-               lmax_dense=32)  # coupled E/B dense block (see docs/PERF.md table)
 # PLK_CACHE_DIR makes filtered alms + CG solutions restartable (warm starts on re-runs)
 _CACHE_DIR = os.environ.get('PLK_CACHE_DIR')
 
@@ -78,6 +74,12 @@ def _cacher(sub):
     return None
 
 
+cinv_t = CinvT(lmax_ivf, geom, cl_len, transf, ninv_t,
+               marge_monopole=True, marge_dipole=True, eps_min=1e-5,
+               dense_cacher=_cacher('dense'))
+cinv_p = CinvP(lmax_ivf, geom, cl_len, transf, ninv_p, eps_min=1e-5,
+               lmax_dense=32,  # coupled E/B dense block (see docs/PERF.md table)
+               dense_cacher=_cacher('dense'))
 ivfs_raw = IVFCinv(cinv_t, cinv_p, sims, cl_len, cacher=_cacher('ivfs'),
                    soltn_cacher=_cacher('cg_soltns'))
 

@@ -141,23 +141,32 @@ class NinvFilterT:
         return fwd_op, calc_prep, pre_op_diag, (rescal_cl, dl)
 
 
-def dense_pre_op(fwd_op, lmax_dense, lmax, chunk=512):
+def dense_pre_op(fwd_op, lmax_dense, lmax, chunk=512, cacher=None, cache_key=None):
     """Low-l dense preconditioner: probe fwd_op on all (lmax_dense+1)^2 real-harmonic basis
     vectors with chunked batched applies, eigendecompose, pseudo-invert
-    (reference: plancklens/qcinv/dense.py:57-119, column loop -> batched apply)."""
-    nrlm = (lmax_dense + 1) ** 2
-    basis_r = jnp.eye(nrlm)
-    basis_alm_d = ualm.rlm2alm(basis_r, lmax_dense)  # (nrlm, nalm_dense)
-    basis_alm = ualm.alm_copy(basis_alm_d, lmax_dense, lmax)
-    cols = jnp.concatenate([fwd_op(basis_alm[i:i + chunk])
-                            for i in range(0, nrlm, chunk)], axis=0)
-    cols_d = ualm.alm_copy(cols, lmax, lmax_dense)
-    M = np.asarray(ualm.alm2rlm(cols_d, lmax_dense))  # (nrlm, nrlm)
-    M = 0.5 * (M + M.T)
-    eigv, eigw = np.linalg.eigh(M)
-    keep = eigv > 1e-12 * np.max(np.abs(eigv))
-    Minv = (eigw[:, keep] * (1. / eigv[keep])) @ eigw[:, keep].T
-    Minv_j = np.asarray(Minv)
+    (reference: plancklens/qcinv/dense.py:57-119, column loop -> batched apply).
+
+    The probing is the expensive part (minutes at lmax_dense >= 32 on one core); pass a
+    `cacher` + `cache_key` to persist the inverted matrix across runs (role of the
+    reference's pickle cache, dense.py:60-68)."""
+    if cacher is not None and cache_key is not None and cacher.is_cached(cache_key):
+        Minv_j = np.asarray(cacher.load(cache_key))
+    else:
+        nrlm = (lmax_dense + 1) ** 2
+        basis_r = jnp.eye(nrlm)
+        basis_alm_d = ualm.rlm2alm(basis_r, lmax_dense)  # (nrlm, nalm_dense)
+        basis_alm = ualm.alm_copy(basis_alm_d, lmax_dense, lmax)
+        cols = jnp.concatenate([fwd_op(basis_alm[i:i + chunk])
+                                for i in range(0, nrlm, chunk)], axis=0)
+        cols_d = ualm.alm_copy(cols, lmax, lmax_dense)
+        M = np.asarray(ualm.alm2rlm(cols_d, lmax_dense))  # (nrlm, nrlm)
+        M = 0.5 * (M + M.T)
+        eigv, eigw = np.linalg.eigh(M)
+        keep = eigv > 1e-12 * np.max(np.abs(eigv))
+        Minv = (eigw[:, keep] * (1. / eigv[keep])) @ eigw[:, keep].T
+        Minv_j = np.asarray(Minv)
+        if cacher is not None and cache_key is not None:
+            cacher.cache(cache_key, Minv_j)
 
     def pre_op(r):
         r_d = ualm.alm_copy(r, lmax, lmax_dense)
@@ -169,28 +178,35 @@ def dense_pre_op(fwd_op, lmax_dense, lmax, chunk=512):
     return pre_op
 
 
-def dense_pre_op_stacked(fwd_op, lmax_dense, lmax, ncomp, chunk=256):
+def dense_pre_op_stacked(fwd_op, lmax_dense, lmax, ncomp, chunk=256, cacher=None,
+                         cache_key=None):
     """Dense low-l preconditioner for stacked (batch, ncomp, nalm) operators (E/B pairs or
     T/E/B triplets): probe the full coupled operator on every (component, real-harmonic)
     basis vector with chunked batched applies, eigendecompose the
     (ncomp nrlm) x (ncomp nrlm) matrix, pseudo-invert
-    (role of reference plancklens/qcinv/dense.py:123-285 pre_op_dense_pp/_tp)."""
+    (role of reference plancklens/qcinv/dense.py:123-285 pre_op_dense_pp/_tp).
+    cacher/cache_key persist the inverted matrix across runs."""
     nrlm = (lmax_dense + 1) ** 2
     n = ncomp * nrlm
-    basis_alm = ualm.alm_copy(ualm.rlm2alm(jnp.eye(nrlm), lmax_dense), lmax_dense, lmax)
-    nalm = basis_alm.shape[-1]
-    blocks = []
-    for c in range(ncomp):
-        blk = jnp.zeros((nrlm, ncomp, nalm), dtype=basis_alm.dtype)
-        blocks.append(blk.at[:, c, :].set(basis_alm))
-    basis = jnp.concatenate(blocks)  # (n, ncomp, nalm), flat index = c * nrlm + r
-    cols = jnp.concatenate([fwd_op(basis[i:i + chunk]) for i in range(0, n, chunk)])
-    cols_d = ualm.alm_copy(cols.reshape(n * ncomp, nalm), lmax, lmax_dense)
-    M = np.asarray(ualm.alm2rlm(cols_d, lmax_dense)).reshape(n, n)
-    M = 0.5 * (M + M.T)
-    eigv, eigw = np.linalg.eigh(M)
-    keep = eigv > 1e-12 * np.max(np.abs(eigv))
-    Minv_j = np.asarray((eigw[:, keep] * (1. / eigv[keep])) @ eigw[:, keep].T)
+    if cacher is not None and cache_key is not None and cacher.is_cached(cache_key):
+        Minv_j = np.asarray(cacher.load(cache_key))
+    else:
+        basis_alm = ualm.alm_copy(ualm.rlm2alm(jnp.eye(nrlm), lmax_dense), lmax_dense, lmax)
+        nalm = basis_alm.shape[-1]
+        blocks = []
+        for c in range(ncomp):
+            blk = jnp.zeros((nrlm, ncomp, nalm), dtype=basis_alm.dtype)
+            blocks.append(blk.at[:, c, :].set(basis_alm))
+        basis = jnp.concatenate(blocks)  # (n, ncomp, nalm), flat index = c * nrlm + r
+        cols = jnp.concatenate([fwd_op(basis[i:i + chunk]) for i in range(0, n, chunk)])
+        cols_d = ualm.alm_copy(cols.reshape(n * ncomp, nalm), lmax, lmax_dense)
+        M = np.asarray(ualm.alm2rlm(cols_d, lmax_dense)).reshape(n, n)
+        M = 0.5 * (M + M.T)
+        eigv, eigw = np.linalg.eigh(M)
+        keep = eigv > 1e-12 * np.max(np.abs(eigv))
+        Minv_j = np.asarray((eigw[:, keep] * (1. / eigv[keep])) @ eigw[:, keep].T)
+        if cacher is not None and cache_key is not None:
+            cacher.cache(cache_key, Minv_j)
 
     def pre_op(r):
         bsz = r.shape[0]
@@ -231,7 +247,7 @@ class CinvT:
     """
 
     def __init__(self, lmax, geom, cl, transf, ninv, marge_monopole=True, marge_dipole=True,
-                 eps_min=1e-5, iter_max=300, lmax_dense=64):
+                 eps_min=1e-5, iter_max=300, lmax_dense=64, dense_cacher=None):
         self.lmax = lmax
         self.geom = geom
         self.cl = cl
@@ -244,10 +260,16 @@ class CinvT:
             self.filt.make_ops(lmax, cl['tt'])
         self._ms = _lm_ms(lmax)
         if lmax_dense > 0:
-            dense = dense_pre_op(self.fwd_op, min(lmax_dense, lmax), lmax)
+            dense = dense_pre_op(self.fwd_op, min(lmax_dense, lmax), lmax,
+                                 cacher=dense_cacher,
+                                 cache_key=self._dense_key(lmax_dense))
             self.pre_op = split_pre_op(dense, self.pre_diag, min(lmax_dense, lmax), lmax)
         else:
             self.pre_op = self.pre_diag
+
+    def _dense_key(self, lmax_dense):
+        return 'dense_%d_%d_%s' % (lmax_dense, self.lmax,
+                                   str(clhash(self.filt.ninv))[:16])
 
     def hashdict(self):
         return {'lmax': self.lmax, 'cltt': clhash(self.cl['tt'][:self.lmax + 1]),
@@ -427,7 +449,7 @@ class CinvP:
     modes."""
 
     def __init__(self, lmax, geom, cl, transf, ninv, eps_min=1e-5, iter_max=300,
-                 lmax_dense=0, templates_q=None, templates_u=None):
+                 lmax_dense=0, templates_q=None, templates_u=None, dense_cacher=None):
         self.lmax = lmax
         self.geom = geom
         self.cl = cl
@@ -439,7 +461,10 @@ class CinvP:
         self.fwd_op, self.calc_prep, self.pre_diag, (self.rescal_cl, self.dle, self.dlb) = \
             self.filt.make_ops(lmax, cl['ee'], cl['bb'])
         if lmax_dense > 0:
-            dense = dense_pre_op_stacked(self.fwd_op, min(lmax_dense, lmax), lmax, 2)
+            key = 'dense_pp_%d_%d_%s' % (lmax_dense, lmax,
+                                         str(clhash(self.filt.ninv[0]))[:16])
+            dense = dense_pre_op_stacked(self.fwd_op, min(lmax_dense, lmax), lmax, 2,
+                                         cacher=dense_cacher, cache_key=key)
             self.pre_op = split_pre_op(dense, self.pre_diag, min(lmax_dense, lmax), lmax)
         else:
             self.pre_op = self.pre_diag
@@ -735,7 +760,7 @@ class CinvTP:
 
     def __init__(self, lmax, geom, cls, transf, ninv_t, ninv_p, eps_min=1e-5,
                  iter_max=400, lmax_dense=0, marge_monopole=False, marge_dipole=False,
-                 templates_t=None, templates_q=None, templates_u=None):
+                 templates_t=None, templates_q=None, templates_u=None, dense_cacher=None):
         self.lmax = lmax
         self.geom = geom
         self.cls = cls
@@ -749,7 +774,10 @@ class CinvTP:
         self.fwd_op, self.calc_prep, self.pre_diag, (self.rescal_cl, self._S) = \
             self.filt.make_ops(lmax, cls)
         if lmax_dense > 0:
-            dense = dense_pre_op_stacked(self.fwd_op, min(lmax_dense, lmax), lmax, 3)
+            key = 'dense_tp_%d_%d_%s' % (lmax_dense, lmax,
+                                         str(clhash(self.filt.filt_t.ninv))[:16])
+            dense = dense_pre_op_stacked(self.fwd_op, min(lmax_dense, lmax), lmax, 3,
+                                         cacher=dense_cacher, cache_key=key)
             self.pre_op = split_pre_op(dense, self.pre_diag, min(lmax_dense, lmax), lmax)
         else:
             self.pre_op = self.pre_diag
