@@ -1,1 +1,1 @@
-from .mesh import make_mesh, sims_sharding, shard_batch
+from .mesh import make_mesh, sims_sharding, maps_sharding, shard_batch, ShardedIVFS

@@ -204,3 +204,23 @@ def test_mf_resp_consistency():
         sel = slice(2, lmax_out)
         ratio = GL2[sel] / GL1[sel]
         assert np.all(np.abs(ratio - 2.) < 0.05), (key, ratio[:5])
+
+
+def test_dresponse_linearity():
+    """The response is linear in the CMB covariance, so the per-multipole log-derivatives
+    must sum back to the full response: sum_l dR/dlnC_l^tt == R for a TT-only covariance."""
+    import os
+    import plancklens_tpu
+    from plancklens_tpu.utils.cls import camb_clfile, cli
+    from plancklens_tpu.models.qresp import get_response, get_dresponse_dlncl
+    lmax = 24
+    cls = camb_clfile(os.path.join(plancklens_tpu.DATAPATH, 'cls',
+                                   'FFP10_wdipole_lensedCls.dat'), lmax=lmax)
+    cls_tt = {'tt': cls['tt'][:lmax + 1]}
+    fal = {'tt': cli(cls_tt['tt'] + 1e-4)}
+    R = get_response('ptt', lmax, 'p', cls_tt, cls_tt, fal, lmax_qlm=lmax)[0]
+    acc = np.zeros(lmax + 1)
+    for l in range(lmax + 1):
+        acc += get_dresponse_dlncl('ptt', l, 'tt', lmax, 'p', cls_tt, cls_tt, fal,
+                                   lmax_out=lmax)[0]
+    assert np.allclose(acc[2:], R[2:], rtol=1e-9), np.max(np.abs(acc[2:] / R[2:] - 1))
