@@ -38,3 +38,13 @@ def pytest_collection_modifyitems(config, items):
         if 'slow' in item.keywords:
             item.add_marker(skip)
 
+
+@pytest.fixture(autouse=True, scope='module')
+def _bound_xla_compiler_state():
+    """Clear jax's compilation caches between test modules: the XLA CPU compiler
+    segfaults after many hundreds of compilations accumulate in one process (observed
+    twice at ~50% of the full --runslow suite, in whatever test compiles next; each
+    crashing test passes standalone). Costs some recompiles across modules."""
+    yield
+    jax.clear_caches()
+
