@@ -156,3 +156,32 @@ def test_n1_symmetry():
                   args['ftlA'], args['felA'], args['fblA'], args['ftlB'], args['felB'],
                   args['fblB'], args['lminA'], args['lminB'], args['dL'], args['lps'])
     assert np.isclose(a, b, rtol=1e-10), (a, b)
+
+
+def test_n1_jtp_diagonal_limit_matches_sep():
+    """get_n1_jtp with a diagonal filtering matrix must reproduce the sep-TP get_n1
+    exactly (same kernel calls select only the unprimed-field combinations), and adding a
+    TE coupling must change the answer (the joint path actually activates)."""
+    from plancklens_tpu.models.n1 import N1Lib
+    lmax = 120
+    ls = np.arange(1, lmax + 1, dtype=float)
+    cltt = 1e3 / ls ** 2
+    clee = 1e2 / ls ** 2
+    clte = 3e2 / ls ** 2
+    clpp = 1e-8 / ls ** 4
+    ftl = 1. / (cltt + 1e-3)
+    fel = 1. / (clee + 2e-3)
+    zeros = np.zeros(lmax)
+    lps = np.array([1, 2, 12, 22, 42, 62, 82, 102])
+    lib = N1Lib(cltt, clte, clee, lmaxphi=lmax, dL=20, lps=lps)
+    Lmax = 60
+    for key, fal, sep_f in [('ptt', {'tt': ftl}, (ftl, zeros, zeros)),
+                            ('pee', {'ee': fel}, (zeros, fel, zeros)),
+                            ('p_p', {'ee': fel, 'bb': fel}, (zeros, fel, fel))]:
+        sep = lib.get_n1(key, 'p', clpp, *sep_f, Lmax)
+        jtp = lib.get_n1_jtp(key, 'p', clpp, fal, Lmax)
+        assert np.allclose(jtp, sep, rtol=1e-12, atol=0), key
+    # TE-coupled filter changes the TT estimator's N1
+    jtp_diag = lib.get_n1_jtp('ptt', 'p', clpp, {'tt': ftl}, Lmax)
+    jtp_te = lib.get_n1_jtp('ptt', 'p', clpp, {'tt': ftl, 'te': 0.3 * ftl}, Lmax)
+    assert not np.allclose(jtp_te, jtp_diag)
