@@ -74,6 +74,18 @@ def alm_copy(alm, lmax_in, lmax_out):
     return out
 
 
+def alm_splice(alm_lo, alm_hi, lsplit):
+    """Merge two alm arrays: coefficients of `alm_lo` at l <= lsplit, of `alm_hi` above
+    (reference: plancklens/qcinv/util_alm.py:8-24; used to splice coarse/fine solutions).
+    The output carries the band limit of `alm_hi`."""
+    alm_hi = jnp.asarray(alm_hi)
+    lmax_hi = getlmax(alm_hi.shape[-1])
+    lmax_lo = getlmax(jnp.asarray(alm_lo).shape[-1])
+    lo = alm_copy(jnp.asarray(alm_lo), lmax_lo, lmax_hi)
+    ls, _ = _lm_indices(lmax_hi)
+    return jnp.where(np.asarray(ls) <= lsplit, lo, alm_hi)
+
+
 @partial(jax.jit, static_argnums=(1,))
 def alm2lm(alm, lmax):
     """Triangular alm -> dense (..., lmax+1, lmax+1) zero-padded (l, m) matrix."""

@@ -63,3 +63,15 @@ def test_alm_copy():
     up = np.asarray(ualm.alm_copy(down, 16, lmax))
     assert up[ualm.getidx(lmax, 10, 4)] == a[ualm.getidx(lmax, 10, 4)]
     assert up[ualm.getidx(lmax, 20, 18)] == 0.
+
+
+def test_alm_splice():
+    lmax_lo, lmax_hi, lsplit = 10, 20, 6
+    rng = np.random.RandomState(9)
+    lo = rng.standard_normal(ualm.getsize(lmax_lo)) + 1j * rng.standard_normal(ualm.getsize(lmax_lo))
+    hi = rng.standard_normal(ualm.getsize(lmax_hi)) + 1j * rng.standard_normal(ualm.getsize(lmax_hi))
+    out = np.asarray(ualm.alm_splice(lo, hi, lsplit))
+    ls, ms = ualm._lm_indices(lmax_hi)
+    lo_ext = np.asarray(ualm.alm_copy(lo, lmax_lo, lmax_hi))
+    assert np.array_equal(out[ls <= lsplit], lo_ext[ls <= lsplit])
+    assert np.array_equal(out[ls > lsplit], hi[ls > lsplit])
