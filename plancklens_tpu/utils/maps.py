@@ -29,3 +29,36 @@ def read_map(spec):
             out = out * read_map(s)
         return out
     return np.asarray(spec, dtype=float)
+
+
+def projectmap(rmap, geom, lcell_amin, npts, lon_lat=(0., -45.)):
+    """Project a patch of a (nrings, nphi) ring map onto a flat square grid (role of
+    reference plancklens/utils.py:72-92 projectmap, for quick-look plots).
+
+    A cartesian (flat-sky) grid of `npts` x `npts` pixels of side `lcell_amin` arcmin is
+    centred on (lon, lat) degrees, and the map is sampled there by bilinear interpolation
+    in (theta, phi). Returns the (npts, npts) projected map.
+    """
+    lon, lat = lon_lat
+    assert 0. <= lon <= 360. and -90. <= lat <= 90., (lon, lat)
+    rmap = np.asarray(rmap)
+    nrings, nphi = rmap.shape
+    half = lcell_amin / 60. / 180. * np.pi * npts / 2.
+    x = np.linspace(-half, half, npts)  # azimuthal offset (radians at patch centre)
+    y = np.linspace(-half, half, npts)  # latitude offset
+    th0 = (90. - lat) / 180. * np.pi
+    ph0 = lon / 180. * np.pi
+    th = th0 - y[:, None] + 0. * x[None, :]
+    ph = ph0 + x[None, :] / np.maximum(np.sin(th), 1e-6)
+    th = np.clip(th, 0., np.pi)
+    # bilinear in the ring/phi index spaces (rings are monotonic in theta)
+    theta_rings = np.asarray(geom.theta)
+    it = np.clip(np.searchsorted(theta_rings, th) - 1, 0, nrings - 2)
+    wt = np.clip((th - theta_rings[it]) / np.maximum(
+        theta_rings[it + 1] - theta_rings[it], 1e-30), 0., 1.)
+    fp = (ph % (2. * np.pi)) / (2. * np.pi) * nphi
+    ip = np.floor(fp).astype(int) % nphi
+    wp = fp - np.floor(fp)
+    out = ((1 - wt) * ((1 - wp) * rmap[it, ip] + wp * rmap[it, (ip + 1) % nphi])
+           + wt * ((1 - wp) * rmap[it + 1, ip] + wp * rmap[it + 1, (ip + 1) % nphi]))
+    return out[::-1]  # 'astro' flip, as the reference projector

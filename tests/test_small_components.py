@@ -97,3 +97,22 @@ def test_alm_nlev_lib_widnoise():
     assert np.allclose(cl[sel], expect[sel], rtol=0.25)
     t, e, b = lib.get_sim_teblm_batch(np.arange(3))
     assert t.shape == (3, ualm.getsize(lmax))
+
+
+def test_projectmap():
+    """Flat projection of a smooth ring map reproduces the underlying function."""
+    import numpy as np
+    from plancklens_tpu.ops.sht import gl_geometry
+    from plancklens_tpu.utils.maps import projectmap
+    geom = gl_geometry(128)
+    th = geom.theta[:, None]
+    ph = (2. * np.pi * np.arange(geom.nphi) / geom.nphi)[None, :]
+    rmap = np.cos(th) + 0.3 * np.sin(th) * np.cos(ph)
+    npts, lcell = 33, 30.  # odd: centre pixel lies exactly on the patch centre
+    out = projectmap(rmap, geom, lcell, npts, lon_lat=(0., -45.))
+    assert out.shape == (npts, npts)
+    # centre value equals the function at the patch centre (theta = 135 deg, phi = 0)
+    th0 = 135. / 180. * np.pi
+    expect = np.cos(th0) + 0.3 * np.sin(th0)
+    assert abs(out[npts // 2, npts // 2] - expect) < 1e-3
+    assert np.all(np.isfinite(out))
