@@ -3,3 +3,19 @@ from .fitsio import read_alm, write_alm, read_map, write_map, read_cl, write_cl
 from .maps import read_map as read_map_spec
 from .cls import camb_clfile, cli, clinv, joincls, extcl, cls_dot, cl_inverse
 from .hashing import clhash, mchash, hash_check
+
+
+def enumerate_progress(seq, label=''):
+    """enumerate() with a lightweight stderr progress line (role of reference
+    plancklens/utils.py:94-113 for long batch loops)."""
+    import sys
+    import time
+    t0 = time.time()
+    n = len(seq)
+    for i, item in enumerate(seq):
+        yield i, item
+        dt = time.time() - t0
+        sys.stderr.write('\r%s %d/%d  [%d:%02d]' % (label, i + 1, n, dt // 60, dt % 60))
+        sys.stderr.flush()
+    if n:
+        sys.stderr.write('\n')
