@@ -27,6 +27,18 @@ from ..ops.sht import SHT, gl_geometry
 from ..ops import cg
 
 
+def _dense_cache_key(tag, lmax_dense, lmax, arrays):
+    """Cache key for a persisted dense preconditioner.
+
+    Hashes *every* input that shapes the probed operator (all ninv components, the signal
+    cls slice, the transfer function) and uses the clamped dense lmax actually built, so a
+    changed configuration can never silently load a stale matrix."""
+    ld = min(lmax_dense, lmax)
+    hs = '_'.join(str(clhash(np.atleast_1d(np.asarray(a, dtype=float)).ravel()))[:8]
+                  for a in arrays)
+    return 'dense_%s_%d_%d_%s' % (tag, ld, lmax, hs)
+
+
 def _lm_ms(lmax):
     # numpy (host) constant: device arrays captured by traced closures cannot be
     # embedded by the axon relay (it fails fetching them at trace time); numpy embeds fine
@@ -260,16 +272,13 @@ class CinvT:
             self.filt.make_ops(lmax, cl['tt'])
         self._ms = _lm_ms(lmax)
         if lmax_dense > 0:
+            key = _dense_cache_key('tt', lmax_dense, lmax,
+                                   [self.filt.ninv, self.cl['tt'][:lmax + 1], self.transf])
             dense = dense_pre_op(self.fwd_op, min(lmax_dense, lmax), lmax,
-                                 cacher=dense_cacher,
-                                 cache_key=self._dense_key(lmax_dense))
+                                 cacher=dense_cacher, cache_key=key)
             self.pre_op = split_pre_op(dense, self.pre_diag, min(lmax_dense, lmax), lmax)
         else:
             self.pre_op = self.pre_diag
-
-    def _dense_key(self, lmax_dense):
-        return 'dense_%d_%d_%s' % (lmax_dense, self.lmax,
-                                   str(clhash(self.filt.ninv))[:16])
 
     def hashdict(self):
         return {'lmax': self.lmax, 'cltt': clhash(self.cl['tt'][:self.lmax + 1]),
@@ -461,8 +470,10 @@ class CinvP:
         self.fwd_op, self.calc_prep, self.pre_diag, (self.rescal_cl, self.dle, self.dlb) = \
             self.filt.make_ops(lmax, cl['ee'], cl['bb'])
         if lmax_dense > 0:
-            key = 'dense_pp_%d_%d_%s' % (lmax_dense, lmax,
-                                         str(clhash(self.filt.ninv[0]))[:16])
+            key = _dense_cache_key('pp', lmax_dense, lmax,
+                                   list(self.filt.ninv) + [self.cl['ee'][:lmax + 1],
+                                                           self.cl['bb'][:lmax + 1],
+                                                           self.transf])
             dense = dense_pre_op_stacked(self.fwd_op, min(lmax_dense, lmax), lmax, 2,
                                          cacher=dense_cacher, cache_key=key)
             self.pre_op = split_pre_op(dense, self.pre_diag, min(lmax_dense, lmax), lmax)
@@ -597,7 +608,10 @@ class IVFCinv:
         key = ('eb', idx)
         if key not in self._cache:
             fn_e, fn_b = 'ivf_elm_%05d' % idx, 'ivf_blm_%05d' % idx
-            if self.cacher is not None and self.cacher.is_cached(fn_e):
+            # gate the cached branch on *both* files so a crash between the two writes
+            # falls back to recomputation instead of failing on the missing half
+            if self.cacher is not None and self.cacher.is_cached(fn_e) \
+                    and self.cacher.is_cached(fn_b):
                 self._cache[key] = (np.asarray(self.cacher.load(fn_e)),
                                     np.asarray(self.cacher.load(fn_b)))
             else:
@@ -608,8 +622,8 @@ class IVFCinv:
                 self._store_soltn('wf_p_%05d' % idx, x)
                 self._cache[key] = (np.asarray(e)[0], np.asarray(b)[0])
                 if self.cacher is not None:
-                    self.cacher.cache(fn_e, self._cache[key][0])
                     self.cacher.cache(fn_b, self._cache[key][1])
+                    self.cacher.cache(fn_e, self._cache[key][0])
         return self._cache[key]
 
     def get_sim_elm(self, idx):
@@ -774,8 +788,10 @@ class CinvTP:
         self.fwd_op, self.calc_prep, self.pre_diag, (self.rescal_cl, self._S) = \
             self.filt.make_ops(lmax, cls)
         if lmax_dense > 0:
-            key = 'dense_tp_%d_%d_%s' % (lmax_dense, lmax,
-                                         str(clhash(self.filt.filt_t.ninv))[:16])
+            key = _dense_cache_key(
+                'tp', lmax_dense, lmax,
+                [self.filt.filt_t.ninv] + list(self.filt.filt_p.ninv)
+                + [np.asarray(cls[k])[:lmax + 1] for k in sorted(cls)] + [self.transf])
             dense = dense_pre_op_stacked(self.fwd_op, min(lmax_dense, lmax), lmax, 3,
                                          cacher=dense_cacher, cache_key=key)
             self.pre_op = split_pre_op(dense, self.pre_diag, min(lmax_dense, lmax), lmax)

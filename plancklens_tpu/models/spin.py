@@ -78,7 +78,13 @@ def _teb_stack(cls, diag_letters=False):
 
 
 def _as_real_if_real(arr):
-    return arr.real.copy() if np.allclose(arr.imag, 0.) else arr
+    # Drop the imaginary part only when it is negligible *relative to the array's own
+    # scale*: an absolute tolerance would silently zero physically tiny parity-odd
+    # spectra (e.g. C_l^EB ~ 1e-10 from birefringence) carried through the spin algebra.
+    scale = np.max(np.abs(arr)) if arr.size else 0.
+    if np.max(np.abs(arr.imag), initial=0.) <= 1e-13 * max(scale, np.finfo(float).tiny):
+        return arr.real.copy()
+    return arr
 
 
 def spin_cls(s1, s2, cls):

@@ -76,6 +76,19 @@ def extcl(lmax, cl):
     return cl[:lmax + 1]
 
 
+def clpp_to_cldd(clpp):
+    r"""Lensing-potential spectrum to deflection 'D'-spectrum
+    :math:`(L(L+1))^2 C_L^{\phi\phi} / 2\pi` (the convention of the lensed-cls operator)."""
+    ls = np.arange(len(clpp), dtype=float)
+    return np.asarray(clpp) * (ls * (ls + 1.)) ** 2 / (2. * np.pi)
+
+
+def cldd_to_clpp(cldd):
+    """Inverse of :func:`clpp_to_cldd` (pseudo-inverse at the L=0 monopole)."""
+    ls = np.arange(len(cldd), dtype=float)
+    return np.asarray(cldd) * cli((ls * (ls + 1.)) ** 2 / (2. * np.pi))
+
+
 def cldict2arr(cls_dict):
     """(3, 3, lmax+1) TEB spectral-matrix array from a cls dict (missing keys are zero)."""
     lmaxp1 = np.max([len(cl) for cl in cls_dict.values()])
