@@ -42,7 +42,8 @@ cl_len = camb_clfile(os.path.join(cls_path, 'FFP10_wdipole_lensedCls.dat'))
 cl_weight = camb_clfile(os.path.join(cls_path, 'FFP10_wdipole_lensedCls.dat'))
 cl_weight['bb'] *= 0.
 
-transf = gauss_beam(5. / 60. / 180. * np.pi, lmax=lmax_ivf)
+# 5-arcmin beam (gauss_beam takes the FWHM in arcminutes)
+transf = gauss_beam(5., lmax=lmax_ivf)
 
 # ------------------------------------------------------------------ sims on the grid
 geom = gl_geometry(lmax_ivf)

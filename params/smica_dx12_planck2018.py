@@ -55,9 +55,9 @@ cl_len = camb_clfile(os.path.join(cls_path, 'FFP10_wdipole_lensedCls.dat'))
 cl_weight = camb_clfile(os.path.join(cls_path, 'FFP10_wdipole_lensedCls.dat'))
 cl_weight['bb'] *= 0.
 
-# 5' beam x pixel window (reference: params/smicadx12_planck2018.py:37)
-transf = gauss_beam(5. / 60. / 180. * np.pi, lmax=lmax_ivf) \
-    * pixwin(nside, lmax_ivf)
+# 5' beam x pixel window (reference: params/smicadx12_planck2018.py:37;
+# gauss_beam takes the FWHM in arcminutes)
+transf = gauss_beam(5., lmax=lmax_ivf) * pixwin(nside, lmax_ivf)
 
 # ------------------------------------------------------------------- sims (FFP10)
 # observed alms (hp.map2alm of the SMICA map / FFP10 sims, exported as healpy FITS);

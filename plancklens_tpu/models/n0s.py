@@ -1,20 +1,37 @@
-r"""Convenience forecast API: reconstruction noise curves for the standard estimators.
+r"""Forecast layer: analytic reconstruction-noise curves for the standard estimators.
 
-Equivalent of the reference's get_N0 (reference: plancklens/n0s.py:30-206): given a beam
-and noise levels, returns normalised N0 curves for the T-only, P-only and (G)MV versions of
-a source estimator, with independent or joint T/P filtering.
+Capability parity with the reference forecast API (reference: plancklens/n0s.py — get_N0,
+get_N0_iter), re-derived around this package's own abstractions:
+
+* :class:`SpectralFilter` — one filtering configuration in the isotropic (spectral)
+  approximation: the per-multipole weighting applied to each QE leg plus the covariance
+  of the weighted data.  Diagonal (separate-TP), joint (3x3 TEB) and split-leg
+  (Wiener-leg T-multipole cut) filtering are all instances of the same container, so the
+  N0 assembly below is written once.
+* :func:`get_N0` — instrument model -> SpectralFilter(s) -> normalised N0 curves.
+* :class:`DelensingForecast` / :func:`get_N0_iter` — the iterated-estimator (MAP) noise
+  forecast as a state-carrying fixed-point loop: state = previous unbiased N0 (plus,
+  with imperfect-E delensing, the previous partially-lensed sky); each step computes the
+  unresolved-lensing fraction, partially-delensed spectra through the built-in
+  correlation-function lensing operator (ops/lensed_cls — where the reference leans on
+  CAMB), and a single N0 evaluation.
 """
 import os
 import numpy as np
 
 import plancklens_tpu
-from ..utils.cls import camb_clfile, cli, cls_dot, cl_inverse
+from ..utils.cls import (camb_clfile, cli, cls_dot, cl_inverse, clpp_to_cldd,
+                         cldd_to_clpp)
+from ..ops.lensed_cls import lensed_cls
 from . import nhl, qresp
+
+_ARCMIN = np.pi / 180. / 60.
 
 
 def gauss_beam(fwhm_amin, lmax):
+    """Gaussian beam transfer function for a FWHM given in arcminutes."""
     ls = np.arange(lmax + 1)
-    sigma2 = (fwhm_amin / 60. / 180. * np.pi / np.sqrt(8. * np.log(2.))) ** 2
+    sigma2 = (fwhm_amin * _ARCMIN / np.sqrt(8. * np.log(2.))) ** 2
     return np.exp(-0.5 * ls * (ls + 1) * sigma2)
 
 
@@ -23,303 +40,337 @@ def _default_cls(lmax=None):
                                     'FFP10_wdipole_lensedCls.dat'), lmax=lmax)
 
 
+def _per_field(value, floor=None):
+    """Broadcast a scalar (or pass through a dict) to a per-field {'t','e','b'} map."""
+    if isinstance(value, dict):
+        return dict(value)
+    v = int(value) if floor is None else max(int(value), floor)
+    return {f: v for f in 'teb'}
+
+
+def _pol_nlevs(nlev_p):
+    """Split a polarisation noise level into (E, B) components; a (2, ...) array gives
+    them separately, anything else is shared."""
+    arr = np.atleast_1d(np.asarray(nlev_p, dtype=float))
+    if arr.ndim == 2 and arr.shape[0] == 2:
+        return arr[0], arr[1]
+    return arr.squeeze(), arr.squeeze()
+
+
+def _bandpass(cls, lmins, lmaxs):
+    """Zero every spectrum outside its per-field multipole band (in place)."""
+    for k, cl in cls.items():
+        cl[:max(lmins[k[0]], lmins[k[1]])] = 0.
+        cl[min(lmaxs[k[0]], lmaxs[k[1]]) + 1:] = 0.
+    return cls
+
+
+class SpectralFilter:
+    """One filtering configuration in the isotropic approximation.
+
+    Attributes:
+        wgrad: per-multipole weighting applied to the gradient QE leg (a diagonal dict
+            for separate-TP filtering, 3x3 TEB-inverse entries for joint filtering)
+        wwf: weighting applied to the Wiener leg; identical to ``wgrad`` unless a
+            Wiener-leg T-multipole cut is in force
+        cov: filtered-data covariances for each ordered leg pairing, keyed
+            'gg', 'gw', 'wg', 'ww' (g = gradient leg, w = Wiener leg)
+    """
+
+    def __init__(self, wgrad, wwf, cov):
+        self.wgrad = wgrad
+        self.wwf = wwf
+        self.cov = cov
+
+    @staticmethod
+    def _covs(wa, wb, cls_dat):
+        if wb is wa:
+            c = cls_dot([wa, cls_dat, wa], ret_dict=True)
+            return {'gg': c, 'gw': c, 'wg': c, 'ww': c}
+        return {'gg': cls_dot([wa, cls_dat, wa], ret_dict=True),
+                'gw': cls_dot([wa, cls_dat, wb], ret_dict=True),
+                'wg': cls_dot([wb, cls_dat, wa], ret_dict=True),
+                'ww': cls_dot([wb, cls_dat, wb], ret_dict=True)}
+
+    @classmethod
+    def separate(cls, cls_filt, cls_dat, wf_tcut=None):
+        """Independent T/E/B filtering (diagonal pseudo-inverse weights)."""
+        w = {k: cli(cls_filt[k]) for k in ('tt', 'ee', 'bb')}
+        wb = w
+        if wf_tcut is not None:
+            wb = {k: v.copy() for k, v in w.items()}
+            wb['tt'][wf_tcut + 1:] = 0.
+        return cls(w, wb, cls._covs(w, wb, cls_dat))
+
+    @classmethod
+    def joint(cls, cls_filt, cls_dat, wf_tcut=None):
+        """Joint TEB filtering (per-multipole 3x3 pseudo-inverse weights)."""
+        w = cl_inverse(cls_filt)
+        wb = w
+        if wf_tcut is not None:
+            capped = {k: np.copy(v) for k, v in cls_dat.items()}
+            for k in capped:
+                if 't' in k:
+                    capped[k][wf_tcut + 1:] = 0.
+            wb = cl_inverse(capped)
+        return cls(w, wb, cls._covs(w, wb, cls_dat))
+
+
+def normalised_n0(qe_key, filt, ksource, cls_weight, cls_cmb, lmax_ivf, lmax_qlm):
+    """(gradient, curl) response-normalised N0 for one QE key under one filtering
+    configuration."""
+    ngg, ncc = nhl.get_nhl(qe_key, qe_key, cls_weight, filt.cov['gg'], lmax_ivf,
+                           lmax_ivf, lmax_out=lmax_qlm, cls_ivfs_ab=filt.cov['gw'],
+                           cls_ivfs_ba=filt.cov['wg'], cls_ivfs_bb=filt.cov['ww'])[:2]
+    rgg, rcc = qresp.get_response(qe_key, lmax_ivf, ksource, cls_weight, cls_cmb,
+                                  filt.wgrad, lmax_qlm=lmax_qlm, fal_leg2=filt.wwf)[:2]
+    return ngg * cli(rgg ** 2), ncc * cli(rcc ** 2)
+
+
 def get_N0(beam_fwhm=1.4, nlev_t=5., nlev_p=None, lmax_CMB=3000, lmin_CMB=100,
            lmax_out=None, cls_filt=None, cls_len=None, cls_weight=None, cls_sky=None,
            joint_TP=True, ksource='p', wfleg_Tcut=None):
-    """Normalised N0 curves (gradient and curl) for [ksource+'tt', ksource+'_p'] and, with
-    joint_TP, the GMV ksource key. Returns (N0s, N0_curls) dicts keyed by QE key."""
+    """Normalised N0 curves (gradient and curl) for [ksource+'tt', ksource+'_p'] and the
+    MV/GMV ksource key.  Returns (N0s, N0_curls) dicts keyed by QE key.
+
+    lmax_CMB / lmin_CMB may be scalars or {'t','e','b'} dicts for per-field cuts;
+    wfleg_Tcut restricts T multipoles on the Wiener leg only (gradient cleaning)."""
     if nlev_p is None:
         nlev_p = nlev_t * np.sqrt(2.)
-    lmaxs = lmax_CMB if isinstance(lmax_CMB, dict) else {s: lmax_CMB for s in 'teb'}
-    lmins = lmin_CMB if isinstance(lmin_CMB, dict) else {s: max(lmin_CMB, 1) for s in 'teb'}
-    nlev_p = np.atleast_1d(np.asarray(nlev_p, dtype=float))
-    if nlev_p.ndim == 2 and nlev_p.shape[0] == 2:
-        nlev_e, nlev_b = nlev_p[0], nlev_p[1]
-    else:
-        nlev_e = nlev_b = nlev_p.squeeze()
-
+    nlev_e, nlev_b = _pol_nlevs(nlev_p)
+    lmaxs = _per_field(lmax_CMB)
+    lmins = _per_field(lmin_CMB, floor=1)
     lmax_ivf = max(lmaxs.values())
     lmax_qlm = lmax_out or lmax_ivf
+
     cls_len = cls_len or _default_cls()
     cls_weight = cls_weight or _default_cls()
-    cls_sky = cls_sky or _default_cls()
-    cls_filt = cls_filt or _default_cls()
 
     transf = gauss_beam(beam_fwhm, lmax_ivf)
-    NT = (np.asarray(nlev_t) / 60. / 180. * np.pi) ** 2 / transf ** 2
-    NE = (np.asarray(nlev_e) / 60. / 180. * np.pi) ** 2 / transf ** 2
-    NB = (np.asarray(nlev_b) / 60. / 180. * np.pi) ** 2 / transf ** 2
+    noise = {'tt': (np.asarray(nlev_t) * _ARCMIN) ** 2 / transf ** 2,
+             'ee': (np.asarray(nlev_e) * _ARCMIN) ** 2 / transf ** 2,
+             'bb': (np.asarray(nlev_b) * _ARCMIN) ** 2 / transf ** 2}
 
-    cls_dat, cls_filter = {}, {}
-    for cls, source in ((cls_dat, cls_sky), (cls_filter, cls_filt)):
-        cls.update({'tt': source['tt'][:lmax_ivf + 1] + NT,
-                    'ee': source['ee'][:lmax_ivf + 1] + NE,
-                    'bb': source['bb'][:lmax_ivf + 1] + NB,
-                    'te': np.copy(source['te'][:lmax_ivf + 1])})
-        for s in cls.keys():
-            cls[s][min(lmaxs[s[0]], lmaxs[s[1]]) + 1:] *= 0.
-            cls[s][:max(lmins[s[0]], lmins[s[1]])] *= 0.
+    def observed(sky):
+        obs = {k: sky[k][:lmax_ivf + 1] + noise[k] for k in noise}
+        obs['te'] = np.copy(sky['te'][:lmax_ivf + 1])
+        return _bandpass(obs, lmins, lmaxs)
 
-    fal_sepTP = {spec: cli(cls_filter[spec]) for spec in ['tt', 'ee', 'bb']}
-    cls_ivfs_sepTP = cls_dot([fal_sepTP, cls_dat, fal_sepTP], ret_dict=True)
-    fal_jtTP = cl_inverse(cls_filter)
-    cls_ivfs_jtTP = cls_dot([fal_jtTP, cls_dat, fal_jtTP], ret_dict=True)
-
-    if wfleg_Tcut is not None and wfleg_Tcut < lmaxs['t']:
-        from copy import deepcopy
-        fal_sepTP_b = deepcopy(fal_sepTP)
-        fal_sepTP_b['tt'][wfleg_Tcut + 1:] *= 0
-        cls_temp = deepcopy(cls_dat)
-        for k in cls_temp:
-            if 't' in k:
-                cls_temp[k][wfleg_Tcut + 1:] *= 0
-        fal_jtTP_b = cl_inverse(cls_temp)
-        ab_sep = cls_dot([fal_sepTP, cls_dat, fal_sepTP_b], ret_dict=True)
-        ba_sep = cls_dot([fal_sepTP_b, cls_dat, fal_sepTP], ret_dict=True)
-        bb_sep = cls_dot([fal_sepTP_b, cls_dat, fal_sepTP_b], ret_dict=True)
-        ab_jt = cls_dot([fal_jtTP, cls_dat, fal_jtTP_b], ret_dict=True)
-        ba_jt = cls_dot([fal_jtTP_b, cls_dat, fal_jtTP], ret_dict=True)
-        bb_jt = cls_dot([fal_jtTP_b, cls_dat, fal_jtTP_b], ret_dict=True)
-    else:
-        fal_sepTP_b, fal_jtTP_b = fal_sepTP, fal_jtTP
-        ab_sep = ba_sep = bb_sep = cls_ivfs_sepTP
-        ab_jt = ba_jt = bb_jt = cls_ivfs_jtTP
-
-    for cls in [fal_sepTP, fal_jtTP, fal_sepTP_b, fal_jtTP_b, cls_ivfs_sepTP,
-                cls_ivfs_jtTP, ab_sep, ba_sep, bb_sep, ab_jt, ba_jt, bb_jt]:
-        for k in cls.keys():
-            cls[k][:max(1, lmins[k[0]], lmins[k[1]])] *= 0.
+    obs_model = observed(cls_filt or _default_cls())
+    obs_data = observed(cls_sky or _default_cls())
+    tcut = wfleg_Tcut if (wfleg_Tcut is not None and wfleg_Tcut < lmaxs['t']) else None
+    filt_diag = SpectralFilter.separate(obs_model, obs_data, wf_tcut=tcut)
+    filt_mv = SpectralFilter.joint(obs_model, obs_data, wf_tcut=tcut) if joint_TP \
+        else filt_diag
 
     N0s, N0_curls = {}, {}
-    for qe_key in [ksource + 'tt', ksource + '_p']:
-        NG, NC, _, _ = nhl.get_nhl(qe_key, qe_key, cls_weight, cls_ivfs_sepTP, lmax_ivf,
-                                   lmax_ivf, lmax_out=lmax_qlm, cls_ivfs_ab=ab_sep,
-                                   cls_ivfs_ba=ba_sep, cls_ivfs_bb=bb_sep)
-        RG, RC, _, _ = qresp.get_response(qe_key, lmax_ivf, ksource, cls_weight, cls_len,
-                                          fal_sepTP, lmax_qlm=lmax_qlm, fal_leg2=fal_sepTP_b)
-        N0s[qe_key] = cli(RG ** 2) * NG
-        N0_curls[qe_key] = cli(RC ** 2) * NC
-
-    if joint_TP:
-        NG, NC, _, _ = nhl.get_nhl(ksource, ksource, cls_weight, cls_ivfs_jtTP, lmax_ivf,
-                                   lmax_ivf, lmax_out=lmax_qlm, cls_ivfs_ab=ab_jt,
-                                   cls_ivfs_ba=ba_jt, cls_ivfs_bb=bb_jt)
-        RG, RC, _, _ = qresp.get_response(ksource, lmax_ivf, ksource, cls_weight, cls_len,
-                                          fal_jtTP, lmax_qlm=lmax_qlm, fal_leg2=fal_jtTP_b)
-        N0s[ksource] = cli(RG ** 2) * NG
-        N0_curls[ksource] = cli(RC ** 2) * NC
-    else:
-        NG, NC, _, _ = nhl.get_nhl(ksource, ksource, cls_weight, cls_ivfs_sepTP, lmax_ivf,
-                                   lmax_ivf, lmax_out=lmax_qlm, cls_ivfs_ab=ab_sep,
-                                   cls_ivfs_ba=ba_sep, cls_ivfs_bb=bb_sep)
-        RG, RC, _, _ = qresp.get_response(ksource, lmax_ivf, ksource, cls_weight, cls_len,
-                                          fal_sepTP, lmax_qlm=lmax_qlm, fal_leg2=fal_sepTP_b)
-        N0s[ksource] = cli(RG ** 2) * NG
-        N0_curls[ksource] = cli(RC ** 2) * NC
+    for qe_key, filt in ((ksource + 'tt', filt_diag), (ksource + '_p', filt_diag),
+                         (ksource, filt_mv)):
+        N0s[qe_key], N0_curls[qe_key] = normalised_n0(
+            qe_key, filt, ksource, cls_weight, cls_len, lmax_ivf, lmax_qlm)
     return N0s, N0_curls
 
 
-def cls2dls(cls):
-    """cls dict -> (N, 4) D_l array + D-scaled clpp (reference: plancklens/nhl.py:191-205)."""
-    keys = ['tt', 'ee', 'bb', 'te']
-    lmax = np.max([len(cl) for cl in cls.values()]) - 1
-    dls = np.zeros((lmax + 1, 4), dtype=float)
-    refac = np.arange(lmax + 1) * np.arange(1, lmax + 2, dtype=float) / (2. * np.pi)
-    for i, k in enumerate(keys):
-        cl = cls.get(k, np.zeros(lmax + 1, dtype=float))
-        sli = slice(0, min(len(cl), lmax + 1))
-        dls[sli, i] = cl[sli] * refac[sli]
-    cldd = np.copy(cls.get('pp', None))
-    if cldd is not None:
-        cldd *= np.arange(len(cldd)) ** 2 * np.arange(1, len(cldd) + 1, dtype=float) ** 2 \
-            / (2. * np.pi)
-    return dls, cldd
+class DelensingForecast:
+    r"""Iterated-QE lensing-noise forecast (reference capability: plancklens/n0s.py
+    get_N0_iter), as a state-carrying fixed-point loop.
 
+    Each :meth:`step` call advances one iteration:
 
-def dls2cls(dls):
-    """Inverse of cls2dls (reference: plancklens/nhl.py:207-214)."""
-    assert dls.shape[1] == 4
-    lmax = dls.shape[0] - 1
-    cls = {}
-    refac = 2. * np.pi * cli(np.arange(lmax + 1) * np.arange(1, lmax + 2, dtype=float))
-    for i, k in enumerate(['tt', 'ee', 'bb', 'te']):
-        cls[k] = dls[:, i] * refac
-    return cls
+        N0  ->  unresolved-lensing fraction  ->  partially-delensed spectra  ->  N0'
+
+    The loop state is the previous unbiased gradient N0 and — in the imperfect-E
+    (``filter_E``) linear-delensing mode — the previous partially-lensed true sky, which
+    sets the Wiener filter of the E modes sourcing the removable B template.
+    """
+
+    def __init__(self, qe_key, nlev_t, nlev_p, beam_fwhm, cls_unl_fid, lmin_ivf,
+                 lmax_ivf, cls_unl_dat=None, lmax_qlm=None, datnoise_cls=None,
+                 unlQE=False, rho_sqd_ext=0., filter_E=False):
+        assert qe_key in ('p_p', 'p', 'ptt'), qe_key
+        self.key = qe_key
+        self.lmaxs = _per_field(lmax_ivf)
+        self.lmins = _per_field(lmin_ivf, floor=1)
+        self.lmax_cmb = max(self.lmaxs.values())
+        self.unl_fid = cls_unl_fid
+        self.unl_true = cls_unl_fid if cls_unl_dat is None else cls_unl_dat
+        self.fid_is_true = cls_unl_dat is None
+        self.unl_weights = unlQE
+        self.wiener_E = filter_E
+        if filter_E:
+            assert qe_key == 'p_p', 'filter_E is a polarisation-delensing option'
+
+        dd_fid = clpp_to_cldd(cls_unl_fid['pp'])
+        lq = lmax_qlm if lmax_qlm is not None else 2 * self.lmax_cmb
+        self.lmax_rec = min(lq, 2 * self.lmax_cmb, len(dd_fid) - 1)
+
+        inv_beam2 = cli(gauss_beam(beam_fwhm, self.lmax_cmb)) ** 2
+        nlev_e, nlev_b = _pol_nlevs(nlev_p)
+        self.noise_filt = {}
+        if qe_key in ('ptt', 'p'):
+            self.noise_filt['tt'] = (nlev_t * _ARCMIN) ** 2 * inv_beam2
+        if qe_key in ('p_p', 'p'):
+            self.noise_filt['ee'] = (nlev_e * _ARCMIN) ** 2 * inv_beam2
+            self.noise_filt['bb'] = (nlev_b * _ARCMIN) ** 2 * inv_beam2
+        self.noise_dat = dict(self.noise_filt) if datnoise_cls is None else datnoise_cls
+        self.rho2_ext = rho_sqd_ext if np.isscalar(rho_sqd_ext) \
+            else np.asarray(rho_sqd_ext)[:self.lmax_rec + 1]
+
+        # deflection-band conversion factor: C_L^pp-convention N0 -> 'D' deflection noise
+        ls = np.arange(self.lmax_rec + 1, dtype=float)
+        self._n0_to_dd = (ls * (ls + 1.)) ** 2 / (2. * np.pi)
+
+        # fully-lensed skies: the baseline the imperfect-E delensing delta is subtracted
+        # from, and the iteration-0 previous-sky state
+        self._len_fid = self._lens(cls_unl_fid, dd_fid)
+        self._len_true = self._len_fid if self.fid_is_true else \
+            self._lens(self.unl_true, clpp_to_cldd(self.unl_true['pp']))
+        self._sky_true = self._len_true   # previous partially-lensed true sky (state)
+        self._n0_grad = None              # previous unbiased gradient N0 (state)
+
+    # ---- building blocks -------------------------------------------------------------
+
+    def _lens(self, unl, cldd, delta=False):
+        return lensed_cls(unl, cldd_to_clpp(cldd), delta_cls=delta,
+                          lmax_out=min(len(unl['tt']) - 1, self.lmax_cmb + 500))
+
+    def _residual_fraction(self):
+        """Fraction of the deflection power the combined (internal QE + external tracer)
+        lensing estimate leaves unresolved, per L.  Before the first N0 exists only the
+        external tracer delenses."""
+        if self._n0_grad is None:
+            return 1. - self.rho2_ext
+        dd_true = clpp_to_cldd(self.unl_true['pp'])
+        dd_noise = self._n0_to_dd * self._n0_grad[:self.lmax_rec + 1]
+        keep = (1. - self.rho2_ext) * dd_noise
+        den = (1. - self.rho2_ext) * dd_true[:self.lmax_rec + 1] + dd_noise
+        resid = np.ones(len(dd_true))
+        resid[:self.lmax_rec + 1] = np.where(den > 0, keep * cli(den), 1.)
+        return resid
+
+    def _delensed_skies(self, resid):
+        """Partially-delensed fiducial and true spectra plus the deflection spectra to
+        report alongside them, given the unresolved-lensing fraction ``resid``.
+
+        In the standard mode the reported deflection is the residual; in the imperfect-E
+        mode it is the *resolved* spectrum (the reference's filter_E convention,
+        reference n0s.py:373-374)."""
+        dd_fid = clpp_to_cldd(self.unl_fid['pp'])
+        dd_true = clpp_to_cldd(self.unl_true['pp'])
+        if not self.wiener_E:
+            dd_fid = dd_fid * resid
+            dd_true = dd_true * resid
+            sky_fid = self._lens(self.unl_fid, dd_fid)
+            sky_true = {k: np.copy(v) for k, v in sky_fid.items()} if self.fid_is_true \
+                else self._lens(self.unl_true, dd_true)
+            return sky_fid, sky_true, dd_fid, dd_true
+        # imperfect-E linear delensing: the removable BB is sourced only by the
+        # Wiener-filtered part of E (filter set by the *previous* partially-lensed true
+        # sky) and the resolved part of the deflection; that delta is subtracted from the
+        # fully-lensed baseline
+        band = slice(self.lmins['e'], self.lmaxs['e'] + 1)
+        rho2_E = np.zeros(len(self.unl_true['ee']))
+        rho2_E[band] = self.unl_true['ee'][band] * cli(
+            self._sky_true['ee'][band] + self.noise_dat['ee'][band])
+        wf_fid = dict(self.unl_fid)
+        wf_fid['ee'] = self.unl_fid['ee'] * rho2_E[:len(self.unl_fid['ee'])]
+        wf_true = dict(self.unl_true)
+        wf_true['ee'] = self.unl_true['ee'] * rho2_E[:len(self.unl_true['ee'])]
+        dd_fid = dd_fid * (1. - resid)
+        dd_true = dd_true * (1. - resid)
+        d_fid = self._lens(wf_fid, dd_fid, delta=True)
+        d_true = self._lens(wf_true, dd_true, delta=True)
+        sky_fid = {k: self._len_fid[k] - d_fid[k] for k in d_fid}
+        sky_true = {k: self._len_true[k] - d_true[k] for k in d_true}
+        return sky_fid, sky_true, dd_fid, dd_true
+
+    def _qe_noise(self, sky_fid, sky_true):
+        """One N0 evaluation against the current partially-delensed skies: the raw
+        Gaussian noise plus the fiducial and true responses (gradient, curl)."""
+        weights = self.unl_fid if self.unl_weights else sky_fid
+        lmax = self.lmax_cmb
+        model, obs = {}, {}
+        if self.key in ('ptt', 'p'):
+            model['tt'] = weights['tt'][:lmax + 1] + self.noise_filt['tt']
+            obs['tt'] = sky_true['tt'][:lmax + 1] + self.noise_dat['tt']
+        if self.key in ('p_p', 'p'):
+            model['ee'] = weights['ee'][:lmax + 1] + self.noise_filt['ee']
+            model['bb'] = weights['bb'][:lmax + 1] + self.noise_filt['bb']
+            obs['ee'] = sky_true['ee'][:lmax + 1] + self.noise_dat['ee']
+            obs['bb'] = sky_true['bb'][:lmax + 1] + self.noise_dat['bb']
+        if self.key == 'p':
+            model['te'] = np.copy(weights['te'][:lmax + 1])
+            obs['te'] = np.copy(sky_true['te'][:lmax + 1])
+        for d in (model, obs):
+            for k, cl in d.items():
+                cl[min(self.lmaxs[k[0]], self.lmaxs[k[1]]) + 1:] = 0.
+        wmat = cl_inverse(model)
+        for d in (wmat, obs):
+            for k, cl in d.items():
+                cl[:max(self.lmins[k[0]], self.lmins[k[1]])] = 0.
+        fcov = cls_dot([wmat, obs, wmat], ret_dict=True)
+
+        ngg, ncc = nhl.get_nhl(self.key, self.key, weights, fcov, lmax, lmax,
+                               lmax_out=self.lmax_rec)[:2]
+        rg_true, rc_true = qresp.get_response(self.key, lmax, 'p', weights, sky_true,
+                                              wmat, lmax_qlm=self.lmax_rec)[:2]
+        if self.fid_is_true and not self.unl_weights:
+            rg_fid, rc_fid = rg_true, rc_true   # delensed true sky == weight spectra
+        else:
+            rg_fid, rc_fid = qresp.get_response(self.key, lmax, 'p', weights, weights,
+                                                wmat, lmax_qlm=self.lmax_rec)[:2]
+        return (ngg, ncc), (rg_fid, rc_fid), (rg_true, rc_true)
+
+    # ---- the iteration ---------------------------------------------------------------
+
+    def step(self):
+        """Advance one iteration.  Returns (N0_grad_biased, N0_grad_unbiased,
+        N0_curl_biased, N0_curl_unbiased, delensed_fid_cls, delensed_true_cls); the
+        delensed dicts include the reported 'pp' spectrum."""
+        resid = self._residual_fraction()
+        sky_fid, sky_true, dd_fid, dd_true = self._delensed_skies(resid)
+        (ngg, ncc), (rg_fid, rc_fid), (rg_true, rc_true) = \
+            self._qe_noise(sky_fid, sky_true)
+        self._n0_grad = ngg * cli(rg_true ** 2)
+        self._sky_true = sky_true
+        sky_fid['pp'] = cldd_to_clpp(dd_fid)
+        sky_true['pp'] = cldd_to_clpp(dd_true)
+        return (ngg * cli(rg_fid ** 2), self._n0_grad,
+                ncc * cli(rc_fid ** 2), ncc * cli(rc_true ** 2), sky_fid, sky_true)
 
 
 def get_N0_iter(qe_key, nlev_t, nlev_p, beam_fwhm, cls_unl_fid, lmin_ivf, lmax_ivf,
                 itermax, cls_unl_dat=None, lmax_qlm=None, ret_delcls=False,
                 datnoise_cls=None, unlQE=False, rho_sqd_ext=0., filter_E=False,
                 ret_curl=False):
-    """Iterative (MAP-estimator forecast) lensing N0 (reference: plancklens/n0s.py:236-448).
-
-    Iteratively computes partially-delensed spectra and the corresponding N0; the partially
-    lensed spectra come from the built-in correlation-function lensed_cls operator
-    (ops/lensed_cls) instead of the camb dependency of the reference.
+    """Iterative (MAP-estimator forecast) lensing N0 (reference capability:
+    plancklens/n0s.py get_N0_iter); see :class:`DelensingForecast` for the loop design.
 
     Args beyond the obvious:
-        lmin_ivf / lmax_ivf: scalars, or dicts keyed by 't','e','b' for per-field cuts
+        lmin_ivf / lmax_ivf: scalars, or {'t','e','b'} dicts for per-field cuts
         cls_unl_dat: true sky spectra when different from the fiducial
         datnoise_cls: custom data noise spectra (the nlevs then only enter the filter)
         unlQE: weight/filter with unlensed instead of (partially) lensed spectra
-        rho_sqd_ext: squared cross-correlation of an external tracer used for additional
-            delensing (scalar or array over L); rho -> 1 means the tracer removes all
-            lensing not already removed internally
-        filter_E: linear delensing — subtract the B-template built from Wiener-filtered
-            *lensed* E (imperfect knowledge of E), instead of assuming E known perfectly
+        rho_sqd_ext: squared cross-correlation of an external delensing tracer (scalar
+            or array over L); rho -> 1 removes all lensing not already removed internally
+        filter_E: linear delensing with the B template from Wiener-filtered *lensed* E
+            (imperfect E knowledge) instead of assuming E known perfectly.  In this mode
+            the returned 'pp' follows the reference convention and holds the *resolved*
+            deflection spectrum, not the residual.
         ret_curl: also return the curl-mode N0s
 
     Returns (N0s_biased, N0s_unbiased[, N0s_unbiased_curl, N0s_biased_curl]
     [, delcls_fid, delcls_true]); N0 arrays have shape (itermax+1, lmax_qlm+1).
     """
-    from ..ops.lensed_cls import lensed_cls as _lensed_cls
-    from . import nhl as nhl_mod
-    assert qe_key in ['p_p', 'p', 'ptt'], qe_key
-    lmaxs = lmax_ivf if isinstance(lmax_ivf, dict) else {s: lmax_ivf for s in 'teb'}
-    lmins = lmin_ivf if isinstance(lmin_ivf, dict) else \
-        {s: max(lmin_ivf, 1) for s in 'teb'}
-    lmax_ivf = max(lmaxs.values())
-
-    def _d2p(cldd):
-        """D-convention deflection spectrum -> C_L^pp."""
-        lp = np.arange(len(cldd), dtype=float)
-        return cldd * cli(lp ** 2 * (lp + 1.) ** 2 / (2. * np.pi))
-
-    def _lencls(cls_unl_dict, cldd, delta=False):
-        return _lensed_cls(cls_unl_dict, _d2p(cldd), delta_cls=delta,
-                           lmax_out=min(len(cls_unl_dict['tt']) - 1, lmax_ivf + 500))
-
-    _, cldd_fid0 = cls2dls(cls_unl_fid)
-    if lmax_qlm is None:
-        lmax_qlm = 2 * lmax_ivf
-    # the iteration needs the deflection spectrum up to lmax_qlm
-    lmax_qlm = min(lmax_qlm, 2 * lmax_ivf, len(cldd_fid0) - 1)
-    transfi2 = cli(gauss_beam(beam_fwhm, lmax_ivf)) ** 2
-    llp2 = np.arange(lmax_qlm + 1, dtype=float) ** 2 \
-        * np.arange(1, lmax_qlm + 2, dtype=float) ** 2 / (2. * np.pi)
-    nlev_p = np.atleast_1d(np.asarray(nlev_p, dtype=float))
-    if nlev_p.ndim == 2 and nlev_p.shape[0] == 2:
-        nlev_e, nlev_b = nlev_p[0], nlev_p[1]
-    else:
-        nlev_e = nlev_b = nlev_p.squeeze()
-    if not np.isscalar(rho_sqd_ext):
-        rho_sqd_ext = np.asarray(rho_sqd_ext)[:lmax_qlm + 1]
-    if datnoise_cls is None:
-        datnoise_cls = dict()
-        if qe_key in ['ptt', 'p']:
-            datnoise_cls['tt'] = (nlev_t * np.pi / 180. / 60.) ** 2 * transfi2
-        if qe_key in ['p_p', 'p']:
-            datnoise_cls['ee'] = (nlev_e * np.pi / 180. / 60.) ** 2 * transfi2
-            datnoise_cls['bb'] = (nlev_b * np.pi / 180. / 60.) ** 2 * transfi2
-    N0s_biased, N0s_unbiased = [], []
-    N0s_biased_cc, N0s_unbiased_cc = [], []
-    delcls_fid, delcls_true = [], []
-    N0_unbiased = np.inf
-
-    cls_len_fid = _lencls(cls_unl_fid, cldd_fid0)
-    if cls_unl_dat is None:
-        cls_unl_dat = cls_unl_fid
-        cls_len_true = cls_len_fid
-    else:
-        _, cldd_true0 = cls2dls(cls_unl_dat)
-        cls_len_true = _lencls(cls_unl_dat, cldd_true0)
-    cls_plen_true = cls_len_true
-
-    for it in range(itermax + 1):
-        _, cldd_true = cls2dls(cls_unl_dat)
-        _, cldd_fid = cls2dls(cls_unl_fid)
-        if it == 0:
-            rho_sqd_phi = rho_sqd_ext
-        else:
-            # resolved lensing fraction; the external tracer keeps delensing the part the
-            # internal estimate misses (reference: plancklens/n0s.py:357-362)
-            rho_sqd_phi = np.zeros(len(cldd_true))
-            N0_now = llp2 * N0_unbiased[:lmax_qlm + 1]
-            rho_sqd_phi[:lmax_qlm + 1] = \
-                ((1. - rho_sqd_ext) * cldd_true[:lmax_qlm + 1] + rho_sqd_ext * N0_now) \
-                * cli((1. - rho_sqd_ext) * cldd_true[:lmax_qlm + 1] + N0_now)
-
-        if filter_E:
-            # linear delensing with the B-template from Wiener-filtered lensed E: only the
-            # rho_E-weighted part of E contributes to the removable lensing B power
-            assert qe_key in ['p_p'], 'filter_E is a polarisation-delensing option'
-            sl = slice(lmins['e'], lmaxs['e'] + 1)
-            rho_sqd_E = np.zeros(len(cls_unl_dat['ee']))
-            rho_sqd_E[sl] = cls_unl_dat['ee'][sl] \
-                * cli(cls_plen_true['ee'][sl] + datnoise_cls['ee'][sl])
-            unl_fid_wf = dict(cls_unl_fid)
-            unl_fid_wf['ee'] = cls_unl_fid['ee'] * rho_sqd_E[:len(cls_unl_fid['ee'])]
-            unl_true_wf = dict(cls_unl_dat)
-            unl_true_wf['ee'] = cls_unl_dat['ee'] * rho_sqd_E[:len(cls_unl_dat['ee'])]
-            dfid = _lencls(unl_fid_wf, cldd_fid * rho_sqd_phi, delta=True)
-            dtrue = _lencls(unl_true_wf, cldd_true * rho_sqd_phi, delta=True)
-            cldd_fid = cldd_fid * (1. - rho_sqd_phi)
-            cldd_true = cldd_true * (1. - rho_sqd_phi)
-            cls_plen_fid = {k: cls_len_fid[k] - dfid[k] for k in dfid}
-            cls_plen_true = {k: cls_len_true[k] - dtrue[k] for k in dtrue}
-        else:
-            cldd_true = cldd_true * (1. - rho_sqd_phi)
-            cldd_fid = cldd_fid * (1. - rho_sqd_phi)
-            cls_plen_fid = _lencls(cls_unl_fid, cldd_fid)
-            cls_plen_true = _lencls(cls_unl_dat, cldd_true) \
-                if cls_unl_dat is not cls_unl_fid \
-                else {k: np.copy(v) for k, v in cls_plen_fid.items()}
-
-        cls_filt = cls_plen_fid if not unlQE else cls_unl_fid
-        cls_w = cls_plen_fid if not unlQE else cls_unl_fid
-        cls_f = cls_plen_true
-        fal, dat_delcls = {}, {}
-        if qe_key in ['ptt', 'p']:
-            fal['tt'] = cls_filt['tt'][:lmax_ivf + 1] \
-                + (nlev_t * np.pi / 180. / 60.) ** 2 * transfi2
-            dat_delcls['tt'] = cls_plen_true['tt'][:lmax_ivf + 1] + datnoise_cls['tt']
-        if qe_key in ['p_p', 'p']:
-            fal['ee'] = cls_filt['ee'][:lmax_ivf + 1] \
-                + (nlev_e * np.pi / 180. / 60.) ** 2 * transfi2
-            fal['bb'] = cls_filt['bb'][:lmax_ivf + 1] \
-                + (nlev_b * np.pi / 180. / 60.) ** 2 * transfi2
-            dat_delcls['ee'] = cls_plen_true['ee'][:lmax_ivf + 1] + datnoise_cls['ee']
-            dat_delcls['bb'] = cls_plen_true['bb'][:lmax_ivf + 1] + datnoise_cls['bb']
-        if qe_key in ['p']:
-            fal['te'] = np.copy(cls_filt['te'][:lmax_ivf + 1])
-            dat_delcls['te'] = np.copy(cls_plen_true['te'][:lmax_ivf + 1])
-        for spec in fal:
-            fal[spec][min(lmaxs[spec[0]], lmaxs[spec[1]]) + 1:] *= 0.
-        for spec in dat_delcls:
-            dat_delcls[spec][min(lmaxs[spec[0]], lmaxs[spec[1]]) + 1:] *= 0.
-        fal = cl_inverse(fal)
-        for spec, cl in fal.items():
-            cl[:max(lmins[spec[0]], lmins[spec[1]])] *= 0.
-        for spec, cl in dat_delcls.items():
-            cl[:max(lmins[spec[0]], lmins[spec[1]])] *= 0.
-        cls_ivfs_arr = cls_dot([fal, dat_delcls, fal])
-        cls_ivfs = dict()
-        for i, a in enumerate(['t', 'e', 'b']):
-            for j, b in enumerate(['t', 'e', 'b'][i:]):
-                if np.any(cls_ivfs_arr[i, j + i]):
-                    cls_ivfs[a + b] = cls_ivfs_arr[i, j + i]
-
-        n_gg, n_cc = nhl_mod.get_nhl(qe_key, qe_key, cls_w, cls_ivfs, lmax_ivf, lmax_ivf,
-                                     lmax_out=lmax_qlm)[:2]
-        r_gg_true, r_cc_true = qresp.get_response(qe_key, lmax_ivf, 'p', cls_w, cls_f, fal,
-                                                  lmax_qlm=lmax_qlm)[:2]
-        r_gg_fid, r_cc_fid = (r_gg_true, r_cc_true) if cls_f is cls_w else \
-            qresp.get_response(qe_key, lmax_ivf, 'p', cls_w, cls_w, fal,
-                               lmax_qlm=lmax_qlm)[:2]
-        N0_biased = n_gg * cli(r_gg_fid ** 2)
-        N0_unbiased = n_gg * cli(r_gg_true ** 2)
-        N0s_biased.append(N0_biased)
-        N0s_unbiased.append(N0_unbiased)
-        N0s_biased_cc.append(n_cc * cli(r_cc_fid ** 2))
-        N0s_unbiased_cc.append(n_cc * cli(r_cc_true ** 2))
-        cls_plen_true['pp'] = _d2p(cldd_true)
-        cls_plen_fid['pp'] = _d2p(cldd_fid)
-        delcls_fid.append(cls_plen_fid)
-        delcls_true.append(cls_plen_true)
-
-    ret = (np.array(N0s_biased), np.array(N0s_unbiased))
+    fc = DelensingForecast(qe_key, nlev_t, nlev_p, beam_fwhm, cls_unl_fid, lmin_ivf,
+                           lmax_ivf, cls_unl_dat=cls_unl_dat, lmax_qlm=lmax_qlm,
+                           datnoise_cls=datnoise_cls, unlQE=unlQE,
+                           rho_sqd_ext=rho_sqd_ext, filter_E=filter_E)
+    rows = [fc.step() for _ in range(itermax + 1)]
+    biased, unbiased, biased_cc, unbiased_cc, del_fid, del_true = map(list, zip(*rows))
+    ret = (np.array(biased), np.array(unbiased))
     if ret_curl:
-        ret = ret + (np.array(N0s_unbiased_cc), np.array(N0s_biased_cc))
+        ret = ret + (np.array(unbiased_cc), np.array(biased_cc))
     if ret_delcls:
-        ret = ret + (delcls_fid, delcls_true)
+        ret = ret + (del_fid, del_true)
     return ret
