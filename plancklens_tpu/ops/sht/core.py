@@ -84,13 +84,14 @@ def recursion_tables(lmax, mmax, n, theta, grid_token=None, dtype=np.float64):
     # two flavours of every table: device-resident arrays for eager calls (passed as
     # arguments to the inner jit, avoiding re-upload per call) and host numpy for calls
     # made inside an enclosing trace (embedded as constants: the axon TPU runtime
-    # rejects programs whose closure constants are committed device arrays)
+    # rejects programs whose closure constants are committed device arrays).  The dev
+    # flavour is materialised lazily on first *eager* use (_tabs_for): jnp arrays built
+    # while tracing would be tracers and poison the cache.
     np_tabs = dict(alpha=alpha.astype(dtype), beta=beta.astype(dtype),
                    gamma=gamma.astype(dtype), l0=l0.astype(np.int32),
                    seed_v=seed_v, seed_k=seed_k,
                    x=np.cos(np.asarray(theta, dtype=np.float64)).astype(dtype))
-    out = dict(S=S, np={k: v for k, v in np_tabs.items()},
-               dev={k: jnp.asarray(v) for k, v in np_tabs.items()})
+    out = dict(S=S, np={k: v for k, v in np_tabs.items()}, dev=None)
     if key is not None:
         if len(_TABLE_CACHE) >= _TABLE_CACHE_MAX:
             _TABLE_CACHE.pop(next(iter(_TABLE_CACHE)))
@@ -200,8 +201,11 @@ def _legendre_scan(mode, S, C_or_Q, alpha, beta, gamma, l0, seed_v, seed_k, x):
 def _tabs_for(t, data):
     """Numpy tables when tracing (safe closure constants), device tables eagerly."""
     import jax.core
-    flavour = 'np' if isinstance(data, jax.core.Tracer) else 'dev'
-    return t[flavour]
+    if isinstance(data, jax.core.Tracer):
+        return t['np']
+    if t['dev'] is None:
+        t['dev'] = {k: jnp.asarray(v) for k, v in t['np'].items()}
+    return t['dev']
 
 
 # ---------------------------------------------------------------- north-south symmetry
