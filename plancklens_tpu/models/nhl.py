@@ -17,17 +17,21 @@ from . import qresp
 
 def get_nhl(qe_key1, qe_key2, cls_weights, cls_ivfs, lmax_ivf1, lmax_ivf2,
             lmax_out=None, lmax_ivf12=None, lmax_ivf22=None, cls_weights2=None,
-            cls_ivfs_bb=None, cls_ivfs_ab=None, cls_ivfs_ba=None):
+            cls_ivfs_bb=None, cls_ivfs_ab=None, cls_ivfs_ba=None, transf=None,
+            profile=None):
     """4-tuple (GG, CC, GC, CG) of Gaussian noise covariances for two QE keys
-    (reference: plancklens/nhl.py:15-43)."""
+    (reference: plancklens/nhl.py:15-43).  `transf`/`profile` parameterise the profiled
+    spin-0 source keys 'ntt'/'dtt' (qresp._source_profile)."""
     if lmax_ivf12 is None:
         lmax_ivf12 = lmax_ivf1
     if lmax_ivf22 is None:
         lmax_ivf22 = lmax_ivf2
     if cls_weights2 is None:
         cls_weights2 = cls_weights
-    qes1 = qresp.get_qes(qe_key1, lmax_ivf1, cls_weights, lmax2=lmax_ivf12)
-    qes2 = qresp.get_qes(qe_key2, lmax_ivf2, cls_weights2, lmax2=lmax_ivf22)
+    qes1 = qresp.get_qes(qe_key1, lmax_ivf1, cls_weights, lmax2=lmax_ivf12, transf=transf,
+                         profile=profile)
+    qes2 = qresp.get_qes(qe_key2, lmax_ivf2, cls_weights2, lmax2=lmax_ivf22, transf=transf,
+                         profile=profile)
     if lmax_out is None:
         lmax_out = max(lmax_ivf1, lmax_ivf12) + max(lmax_ivf2, lmax_ivf22)
     return _get_nhl(qes1, qes2, cls_ivfs, lmax_out, cls_ivfs_bb=cls_ivfs_bb,

@@ -73,7 +73,7 @@ def _eval_leg(leg, get_alm, sht):
 
 
 def eval_qe(qe_key, lmax_ivf, cls_weight, get_alm, lmax_qlm, geom=None, get_alm2=None,
-            transf=None, verbose=False):
+            transf=None, profile=None, verbose=False):
     """Evaluate a QE's gradient and curl alms from filtered-alm providers.
 
     Args:
@@ -88,7 +88,7 @@ def eval_qe(qe_key, lmax_ivf, cls_weight, get_alm, lmax_qlm, geom=None, get_alm2
     Returns:
         (glm, clm) batched triangular alms.
     """
-    qe_list = qresp.get_qes(qe_key, lmax_ivf, cls_weight, transf=transf)
+    qe_list = qresp.get_qes(qe_key, lmax_ivf, cls_weight, transf=transf, profile=profile)
     return qe_eval(qe_list, get_alm, lmax_qlm, geom=geom, get_alm2=get_alm2, verbose=verbose)
 
 
@@ -137,7 +137,7 @@ class QELib:
     """
 
     def __init__(self, ivfs1, ivfs2, cls_weight, lmax_ivf, lmax_qlm, cacher=None,
-                 resplib=None):
+                 resplib=None, transf=None, profile=None):
         self.ivfs1 = ivfs1
         self.ivfs2 = ivfs2
         self.cls_weight = cls_weight
@@ -145,6 +145,8 @@ class QELib:
         self.lmax_qlm = lmax_qlm
         self.cacher = cacher if cacher is not None else cacher_mem(maxsize=64)
         self.resplib = resplib  # needed for '_bh_' (bias-hardened) keys
+        self.transf = transf    # beam: needed for the 'ntt' noise estimator
+        self.profile = profile  # 'd'-source profile (qresp._source_profile)
         # device-side memo in front of the persistent cacher, so repeated get_sim_qlm
         # calls (RDN0/qecl loops) return the on-device array without a host round-trip
         self._dev_memo = {}
@@ -187,7 +189,7 @@ class QELib:
     def get_sim_qlm(self, k, idx, grad_only=False):
         """Gradient (and curl) QE alms for simulation idx; composite and _bh_ keys resolve
         recursively as in the reference (reference: plancklens/qest.py:155-201)."""
-        assert k[0] in ['p', 'x', 's', 'f', 'a'], k
+        assert k[0] in ['p', 'x', 's', 'f', 'a', 'n', 'd'], k
         if k in ['p_tp', 'x_tp', 'f_tp', 's_tp']:
             return (self.get_sim_qlm('%stt' % k[0], idx, grad_only=grad_only)
                     + self.get_sim_qlm('%s_p' % k[0], idx, grad_only=grad_only))
@@ -217,7 +219,7 @@ class QELib:
     def _eval_key(self, k, get_alm, get_alm2):
         kk = 'p' + k[1:] if k[0] == 'x' else k  # grad and curl come from the same product
         return eval_qe(kk, self.lmax_ivf, self.cls_weight, get_alm, self.lmax_qlm,
-                       get_alm2=get_alm2)
+                       get_alm2=get_alm2, transf=self.transf, profile=self.profile)
 
     def _bh_qlm(self, k, get_qlm):
         from ..utils.cls import cli

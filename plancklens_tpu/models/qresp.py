@@ -26,7 +26,27 @@ from .qe import qeleg, qe, qe_simplify, qe_proj
 _SPINS3 = (0, -2, 2)
 
 
-def get_qes(qe_key, lmax, cls_weight, lmax2=None, transf=None):
+def _source_profile(qe_key, lmax, transf, profile):
+    """Per-multipole profile u_l of a profiled spin-0 source estimator.
+
+    'ntt' is the noise-variance estimator: white noise in the observed map appears on the
+    beam-deconvolved sky with profile 1/b_l, hence inverse-beam legs (reference:
+    plancklens/qresp.py:88-92).  'dtt' is the extended-("profiled")-source estimator
+    (profile-hardening in the sense of Sailer-Schaan-Ferraro 2020): the reference lists
+    dtt and its hardened combinations in its key grammar (plancklens/qest.py:109-114) but
+    ships no builder or response for them; here the profile is explicit (`profile` arg),
+    defaulting to the beam b_l (a source with the angular extent of the beam — distinct
+    from the flat 'stt' and inverse-beam 'ntt' members of the same family)."""
+    if qe_key == 'ntt':
+        assert transf is not None, 'ntt needs the beam transfer function (transf)'
+        return clinv(np.asarray(transf, dtype=float)[:lmax + 1])
+    if profile is not None:
+        return np.asarray(profile, dtype=float)[:lmax + 1]
+    assert transf is not None, 'dtt needs a source profile (profile or transf)'
+    return np.asarray(transf, dtype=float)[:lmax + 1]
+
+
+def get_qes(qe_key, lmax, cls_weight, lmax2=None, transf=None, profile=None):
     """Symbolic QE weights for a QE key, acting on inverse-variance filtered spin fields
     (reference behaviour: plancklens/qresp.py:50-101)."""
     if lmax2 is None:
@@ -59,12 +79,11 @@ def get_qes(qe_key, lmax, cls_weight, lmax2=None, transf=None):
                                + qe_proj(qes, qe_key[3], qe_key[2]))
         else:
             assert 0, 'qe key %s not recognized' % qe_key
-    elif qe_key in ['ntt']:
-        # noise-variance estimator: inverse-beam weights on both legs
-        # (reference: plancklens/qresp.py:88-92)
-        assert transf is not None
-        lega = qeleg(0, 0, clinv(np.asarray(transf)[:lmax + 1]))
-        legb = qeleg(0, 0, 0.5 * clinv(np.asarray(transf)[:lmax + 1]))
+    elif qe_key in ['ntt', 'dtt']:
+        # profiled spin-0 source estimators (see _source_profile)
+        u = _source_profile(qe_key, lmax, transf, profile)
+        lega = qeleg(0, 0, u.copy())
+        legb = qeleg(0, 0, 0.5 * u)
         return qe_simplify([qe(lega, legb, lambda L: np.ones(len(L), dtype=float))])
     elif qe_key in ['ktt']:
         # 'kappa-tt' BFK-type estimator (reference: plancklens/qresp.py:93-99)
@@ -117,8 +136,8 @@ def get_covresp(source, s1, s2, cls, lmax, transf=None):
 def qe_spin_data(qe_key):
     """(output spin, 'G'/'C', input spins, spin-1 source key) for a QE key
     (reference: plancklens/qresp.py:165-180)."""
-    if qe_key in ['ntt']:
-        return 0, 'G', [0], 'n'
+    if qe_key in ['ntt', 'dtt']:
+        return 0, 'G', [0], qe_key[0]
     qes = get_qes(qe_key, 10, {k: np.ones(15, dtype=float) for k in ['tt', 'te', 'ee', 'bb']})
     spins_out = [q.leg_a.spin_ou + q.leg_b.spin_ou for q in qes]
     spins_in = np.unique(np.abs([q.leg_a.spin_in for q in qes]
@@ -137,18 +156,20 @@ def _to_tuple(R):
 
 
 def get_response(qe_key, lmax_ivf, source, cls_weight, cls_cmb, fal, fal_leg2=None,
-                 lmax_ivf2=None, lmax_qlm=None, transf=None):
+                 lmax_ivf2=None, lmax_qlm=None, transf=None, profile=None):
     r"""Isotropic QE response 4-tuple (R^GG, R^CC, R^GC, R^CG)
     (reference behaviour: plancklens/qresp.py:269-312).
 
     `cls_weight` enters the QE weights, `cls_cmb` the CMB covariance response, `fal` the
-    isotropic filtering spectra (1/(C+N/b^2)-style).
+    isotropic filtering spectra (1/(C+N/b^2)-style); `transf`/`profile` parameterise the
+    profiled spin-0 sources 'n' and 'd' (see _source_profile).
     """
     if lmax_ivf2 is None:
         lmax_ivf2 = lmax_ivf
     if lmax_qlm is None:
         lmax_qlm = lmax_ivf + lmax_ivf2
-    kw = dict(fal_leg2=fal_leg2, lmax_ivf2=lmax_ivf2, lmax_qlm=lmax_qlm, transf=transf)
+    kw = dict(fal_leg2=fal_leg2, lmax_ivf2=lmax_ivf2, lmax_qlm=lmax_qlm, transf=transf,
+              profile=profile)
     if '_bh_' in qe_key:
         # bias-hardening as 2x2 channel algebra: R_bh = R_ks - R_kh D(R_hh)^-1 R_hs,
         # with D the diagonal (GG, CC) part (reference math: plancklens/qresp.py:290-306)
@@ -164,9 +185,12 @@ def get_response(qe_key, lmax_ivf, source, cls_weight, cls_cmb, fal, fal_leg2=No
         Dinv[1, 1] = cli(R_hh[1, 1])
         return _to_tuple(R_ks - np.einsum('abl,bcl,cdl->adl', R_kh, Dinv, R_hs))
 
-    qes = get_qes(qe_key, lmax_ivf, cls_weight, lmax2=lmax_ivf2, transf=transf)
-    if 'tt' in qe_key and source in ['n', 'ntt']:
-        return _get_response_ntt(qes, fal, lmax_qlm, fal_leg2=fal_leg2, transf=transf)
+    qes = get_qes(qe_key, lmax_ivf, cls_weight, lmax2=lmax_ivf2, transf=transf,
+                  profile=profile)
+    if 'tt' in qe_key and source in ['n', 'ntt', 'd', 'dtt']:
+        skey = source[0] + 'tt'
+        u = _source_profile(skey, max(lmax_ivf, lmax_ivf2), transf, profile)
+        return _get_response_profiled(qes, fal, lmax_qlm, u, fal_leg2=fal_leg2)
     return _get_response(qes, source, cls_cmb, fal, lmax_qlm, fal_leg2=fal_leg2)
 
 
@@ -240,13 +264,13 @@ def _get_response(qes, source, cls_cmb, fal_leg1, lmax_qlm, fal_leg2=None):
     return _to_tuple(R)
 
 
-def _get_response_ntt(qes, fal_leg1, lmax_qlm, fal_leg2=None, transf=None):
-    """Response of TT-like QEs to the noise-variance source 'ntt', batched
+def _get_response_profiled(qes, fal_leg1, lmax_qlm, u, fal_leg2=None):
+    """Response of TT-like QEs to a profiled spin-0 source with per-leg profile u_l
+    ('ntt': u = 1/b_l; 'dtt': user profile), batched
     (math as reference plancklens/qresp.py:315-361)."""
-    assert transf is not None
     fal2 = fal_leg1 if fal_leg2 is None else fal_leg2
     Ls = np.arange(lmax_qlm + 1, dtype=int)
-    bli = clinv(np.asarray(transf, dtype=float))
+    bli = np.asarray(u, dtype=float)
     specs, blocks = [], []
     for q in qes:
         sa_i, sb_i = q.leg_a.spin_in, q.leg_b.spin_in
@@ -302,7 +326,7 @@ class RespLib:
     """
 
     def __init__(self, lmax_ivf, cls_weight, cls_cmb, fal, lmax_qlm, transf=None,
-                 cacher=None):
+                 cacher=None, profile=None):
         from ..utils.cachers import cacher_mem
         self.lmax_qe = lmax_ivf
         self.lmax_qlm = lmax_qlm
@@ -310,6 +334,7 @@ class RespLib:
         self.cls_cmb = cls_cmb
         self.fal = fal
         self.transf = transf
+        self.profile = profile  # 'd'-source profile (see _source_profile)
         self.cacher = cacher if cacher is not None else cacher_mem()
 
     def hashdict(self):
@@ -321,6 +346,10 @@ class RespLib:
             ret['clscmb ' + k] = clhash(self.cls_cmb[k])
         for k in self.fal.keys():
             ret['fal' + k] = clhash(self.fal[k])
+        if self.transf is not None:
+            ret['transf'] = clhash(self.transf)
+        if self.profile is not None:
+            ret['profile'] = clhash(self.profile)
         return ret
 
     def get_response(self, k, ksource):
@@ -338,7 +367,7 @@ class RespLib:
         if not self.cacher.is_cached(fn):
             GG, CC, GC, CG = get_response(k, self.lmax_qe, ksource, self.cls_weight,
                                           self.cls_cmb, self.fal, lmax_qlm=self.lmax_qlm,
-                                          transf=self.transf)
+                                          transf=self.transf, profile=self.profile)
             self.cacher.cache('qe_' + ksp + k[1:] + '_source_%s_' % ksource + 'GG', GG)
             if s > 0:
                 self.cacher.cache('qe_' + ksp + k[1:] + '_source_%s_' % ksource + 'CC', CC)

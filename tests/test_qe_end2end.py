@@ -116,3 +116,38 @@ def test_composite_and_bh_keys():
     got = np.asarray(qlib.get_sim_qlm('ptt_bh_s', 0))
     assert np.allclose(got, expected)
     assert not np.allclose(got, np.asarray(qlib.get_sim_qlm('ptt', 0)))
+
+
+def test_profiled_source_keys():
+    # 'ntt' (noise, inverse-beam legs) and 'dtt' (profiled source) map estimators plus
+    # their bias-hardened combinations (reference grammar: plancklens/qest.py:109-114,
+    # map builder _get_sim_ntt qest.py:293-298; the reference ships no dtt builder).
+    from plancklens_tpu.models.qest import _almxfl
+    # with a unit beam the inverse-beam legs reduce to the point-source weights: the ntt
+    # map must equal the stt map exactly
+    unit = np.ones(LMAX + 1)
+    qlib_u = QELib(IVFS, IVFS, CLS_LEN, LMAX, LMAX, transf=unit)
+    assert np.allclose(np.asarray(qlib_u.get_sim_qlm('ntt', 0)),
+                       np.asarray(qlib_u.get_sim_qlm('stt', 0)), rtol=1e-10, atol=1e-30)
+    # non-trivial beam: s / n / d all distinct, bh combos follow the response algebra
+    transf = np.exp(-0.5 * np.arange(LMAX + 1) * np.arange(1, LMAX + 2) * (2e-2) ** 2)
+    resplib = qresp.RespLib(LMAX, CLS_LEN, CLS_LEN, FAL, LMAX, transf=transf)
+    qlib = QELib(IVFS, IVFS, CLS_LEN, LMAX, LMAX, resplib=resplib, transf=transf)
+    ntt = np.asarray(qlib.get_sim_qlm('ntt', 0))
+    dtt = np.asarray(qlib.get_sim_qlm('dtt', 0))
+    stt = np.asarray(qlib.get_sim_qlm('stt', 0))
+    assert not np.allclose(ntt, stt) and not np.allclose(dtt, stt)
+    for kQE, ks in (('ptt', 'n'), ('ptt', 'd'), ('dtt', 'p'), ('ftt', 'd')):
+        wL = np.asarray(resplib.get_response(kQE, ks)) \
+            * cli(np.asarray(resplib.get_response(ks + 'tt', ks)))
+        expected = np.asarray(qlib.get_sim_qlm(kQE, 0)) \
+            - np.asarray(_almxfl(qlib.get_sim_qlm(ks + 'tt', 0), wL))
+        got = np.asarray(qlib.get_sim_qlm('%s_bh_%s' % (kQE, ks), 0))
+        assert np.allclose(got, expected), (kQE, ks)
+        assert not np.allclose(got, np.asarray(qlib.get_sim_qlm(kQE, 0))), (kQE, ks)
+    # the hardened estimator's response to the nuisance source must vanish
+    for kQE, ks in (('ptt', 'n'), ('ptt', 'd')):
+        R_bh = np.asarray(resplib.get_response('%s_bh_%s' % (kQE, ks), ks))
+        R_raw = np.asarray(resplib.get_response(kQE, ks))
+        sel = slice(2, LMAX + 1)
+        assert np.max(np.abs(R_bh[sel])) < 1e-8 * np.max(np.abs(R_raw[sel])), (kQE, ks)
