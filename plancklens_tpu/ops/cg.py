@@ -25,20 +25,8 @@ def dot_alm(alm1, alm2, ms):
     return jnp.sum(w * acc, axis=-1).astype(prod.dtype)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 4, 5, 7))
-def pcg(fwd_op, pre_op, b, x0, iter_max, eps_min, ms, roundoff=25):
-    """Solve fwd_op(x) = b by PCG. Returns (x, n_iter, rel_residual).
-
-    fwd_op, pre_op: callables on (batch, nalm) complex arrays (traced once).
-    Convergence: sqrt(<r,r>/<b,b>) < eps_min on every batch element.
-
-    Every `roundoff` iterations the true residual r = b - A x is recomputed (residual
-    replacement, the reference's round-off policy, cd_solve.py:82-86) so the recurred
-    residual cannot drift from the true one; the conjugate direction is kept. Measured
-    on the masked lmax-192 f32 system: convergence is operator-noise-limited either way
-    (~770 f32 iterations vs ~80 in f64; see docs/PERF.md), the replacement guards
-    correctness of the reported residual at ~4% extra cost.
-    """
+def _pcg_loop(fwd_op, pre_op, b, x0, iter_max, eps_min, ms, roundoff=25):
+    """Traceable PCG while_loop (shared by :func:`pcg` and :func:`pcg_ir`)."""
     b = jnp.atleast_2d(b)
     x0 = jnp.broadcast_to(jnp.atleast_2d(x0), b.shape)
     b0 = jnp.maximum(dot_alm(b, b, ms), 1e-300)
@@ -71,9 +59,85 @@ def pcg(fwd_op, pre_op, b, x0, iter_max, eps_min, ms, roundoff=25):
         p = z + beta[:, None] * p
         return x, r, p, rz_new, it + 1
 
-    x, r, p, rz, it = jax.lax.while_loop(cond, body, (x0, r, p, rz, jnp.zeros((), jnp.int32)))
+    x, r, p, rz, it = jax.lax.while_loop(cond, body,
+                                         (x0, r, p, rz, jnp.zeros((), jnp.int32)))
     rel = jnp.sqrt(dot_alm(r, r, ms) / b0)
     return x, it, rel
+
+
+@partial(jax.jit, static_argnums=(0, 1, 4, 5, 7))
+def pcg(fwd_op, pre_op, b, x0, iter_max, eps_min, ms, roundoff=25):
+    """Solve fwd_op(x) = b by PCG. Returns (x, n_iter, rel_residual).
+
+    fwd_op, pre_op: callables on (batch, nalm) complex arrays (traced once).
+    Convergence: sqrt(<r,r>/<b,b>) < eps_min on every batch element.
+
+    Every `roundoff` iterations the true residual r = b - A x is recomputed (residual
+    replacement, the reference's round-off policy, cd_solve.py:82-86) so the recurred
+    residual cannot drift from the true one; the conjugate direction is kept.
+    """
+    return _pcg_loop(fwd_op, pre_op, b, x0, iter_max, eps_min, ms, roundoff=roundoff)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 4, 5, 7, 8))
+def pcg_ir(fwd_op, pre_op, b, x0, iter_max, eps_min, ms, inner_dec=3e-2, inner_cap=80):
+    """PCG with iterative-refinement restarts — the single-precision production solver.
+
+    A single long f32 CG stalls far above its operator's round-off floor: the recurred
+    search directions lose conjugacy to accumulated rounding long before the residual
+    reaches the ~1e-6 forward-operator noise level (measured: 774 f32 iterations
+    limping to 9.9e-6 on the masked lmax-192 system, vs 60-80 in f64; docs/PERF.md).
+    Restarting sidesteps this: each outer step recomputes the true residual
+    r = b - A x and solves the *correction* equation A e = r with a fresh Krylov space
+    to a fixed relative reduction `inner_dec`, so every inner solve operates in a
+    regime where f32 CG is still healthy.  The iteration converges linearly at rate
+    `inner_dec` per outer step down to the f32 residual-evaluation floor (~1e-7
+    relative), comfortably below the 1e-5 production tolerance.
+
+    One jitted program: outer `while_loop` over (true residual -> inner `while_loop`
+    PCG).  Costs one extra forward apply per outer step for the exact residual.
+    Returns (x, total_forward_applies, rel_residual).
+    """
+    b = jnp.atleast_2d(b)
+    x0 = jnp.broadcast_to(jnp.atleast_2d(x0), b.shape)
+    b0 = jnp.maximum(dot_alm(b, b, ms), 1e-300)
+    rdt = b.real.dtype
+
+    def cond(state):
+        x, it_tot, rel, done = state
+        return jnp.logical_and(~done, it_tot < iter_max)
+
+    def body(state):
+        x, it_tot, _, _ = state
+        r = b - fwd_op(x)
+        rel = jnp.sqrt(dot_alm(r, r, ms) / b0)
+        done = jnp.all(rel <= eps_min)
+
+        def solve_correction():
+            e, it_in, _ = _pcg_loop(fwd_op, pre_op, r, jnp.zeros_like(r),
+                                    inner_cap, inner_dec, ms, roundoff=0)
+            return e, it_in
+
+        e, it_in = jax.lax.cond(
+            done, lambda: (jnp.zeros_like(r), jnp.zeros((), jnp.int32)),
+            solve_correction)
+        return x + e, it_tot + it_in + 1, rel.astype(rdt), done
+
+    st0 = (x0, jnp.zeros((), jnp.int32), jnp.full((b.shape[0],), jnp.inf, dtype=rdt),
+           jnp.zeros((), bool))
+    x, it, rel, done = jax.lax.while_loop(cond, body, st0)
+    return x, it, rel
+
+
+def solve(fwd_op, pre_op, b, x0, iter_max, eps_min, ms, force_ir=None):
+    """Production linear-system driver: plain PCG in double precision, IR-restarted PCG
+    (:func:`pcg_ir`) when the working dtype is single — the TPU path, where plain f32
+    CG cannot reach the 1e-5 production tolerance efficiently."""
+    use_ir = force_ir if force_ir is not None else \
+        jnp.asarray(b).real.dtype == jnp.float32
+    if use_ir:
+        return pcg_ir(fwd_op, pre_op, b, x0, iter_max, eps_min, ms)
+    return pcg(fwd_op, pre_op, b, x0, iter_max, eps_min, ms)
 
 
 class monitor_basic:

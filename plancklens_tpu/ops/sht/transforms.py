@@ -41,7 +41,7 @@ def _to_rings(Fp, Fm, nphi, phi0):
     batch, nrings, mmaxp1 = Fp.shape
     m = jnp.arange(mmaxp1)
     if phi0 != 0.:
-        rot = jnp.exp(1j * m * phi0)
+        rot = jnp.exp(1j * m * phi0).astype(Fp.dtype)
         Fp = Fp * rot
         Fm = Fm * jnp.conj(rot)
     X = jnp.zeros((batch, nrings, nphi), dtype=jnp.complex128
@@ -67,7 +67,7 @@ def _from_rings(maps, mmax, phi0):
     Gm = jnp.concatenate([T[..., :1], T[..., -mmax:][..., ::-1]], axis=-1)
     if phi0 != 0.:
         m = jnp.arange(mmax + 1)
-        rot = jnp.exp(-1j * m * phi0)
+        rot = jnp.exp(-1j * m * phi0).astype(Gp.dtype)
         Gp = Gp * rot
         Gm = Gm * jnp.conj(rot)
     return Gp, Gm
@@ -104,10 +104,24 @@ class SHT:
         if self.engine == 'pallas' and np.dtype(self.dtype) != np.float32:
             self.dtype = np.float32
             self.cdtype = np.complex64
+        # optional two-phase mesh sharding (parallel.mesh.shard_sht): a dict with keys
+        # 'mesh' and PartitionSpecs 'theta_m' (Legendre phase, m-sharded), 'theta_r' /
+        # 'map' (FFT phase, ring-sharded), 'lm_m', 'alm'. When set, transforms carry
+        # sharding constraints at the phase boundaries so the Legendre work partitions
+        # over m, the ring FFTs over rings, with one all-to-all between the phases.
+        self.shard = None
 
     # ------------------------------------------------------------------ helpers
     def _tok(self):
         return self.geom.token()
+
+    def _sc(self, x, stage):
+        """Apply the stage's sharding constraint (no-op without mesh sharding)."""
+        if self.shard is None:
+            return x
+        from jax.sharding import NamedSharding
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.shard['mesh'], self.shard[stage]))
 
     def _synth_pair(self, A, Abar, spin):
         """F+ and F- theta-functions for all m >= 0 (see module docstring for math).
@@ -115,25 +129,35 @@ class SHT:
         One fused Legendre call runs both the (-spin) and (+spin) recursions on the
         northern half of a symmetric grid (core.legendre_synth_pair)."""
         lmax, mmax = self.lmax, self.mmax
-        fac = _facl(lmax)[:, None]
+        fac = _facl(lmax).astype(self.dtype)[:, None]
         Cp = A * fac
         Cm = ((-1.) ** spin) * jnp.conj(Abar) * fac
+        Cp = self._sc(Cp, 'lm_m')
+        Cm = self._sc(Cm, 'lm_m')
         Fp, Fm = legendre_synth_pair(Cp, Cm, spin, self.geom.theta,
                                      grid_token=self._tok(), dtype=self.dtype,
                                      engine=self.engine)
+        # Legendre phase ran m-sharded; re-shard to ring blocks (one all-to-all) so the
+        # longitude FFTs run whole-ring local
+        Fp = self._sc(self._sc(Fp, 'theta_m'), 'theta_r')
+        Fm = self._sc(self._sc(Fm, 'theta_m'), 'theta_r')
         return Fp, Fm
 
     def _anal_pair(self, maps_c, spin):
         """A = _sa_lm and B = -(g - ic)_lm grids from complex ring maps."""
         lmax, mmax = self.lmax, self.mmax
-        Gp, Gm = _from_rings(maps_c, mmax, self.geom.phi0)
-        w = jnp.asarray(self.geom.weight)[:, None]
-        fac = _facl(lmax)[:, None]
+        Gp, Gm = _from_rings(self._sc(maps_c, 'map'), mmax, self.geom.phi0)
+        # FFT phase ran ring-local; re-shard the (rings, m) grids to m columns (one
+        # all-to-all) so the Legendre analysis partitions over m
+        Gp = self._sc(self._sc(Gp, 'theta_r'), 'theta_m')
+        Gm = self._sc(self._sc(Gm, 'theta_r'), 'theta_m')
+        w = jnp.asarray(self.geom.weight.astype(self.dtype))[:, None]
+        fac = _facl(lmax).astype(self.dtype)[:, None]
         A, Bc = legendre_anal_pair(Gp * w, Gm * w, spin, self.geom.theta, lmax,
                                    grid_token=self._tok(), dtype=self.dtype,
                                    engine=self.engine)
-        A = A * fac
-        B = ((-1.) ** spin) * jnp.conj(Bc) * fac
+        A = self._sc(A, 'lm_m') * fac
+        B = ((-1.) ** spin) * jnp.conj(self._sc(Bc, 'lm_m')) * fac
         return A, B
 
     def _to_grid(self, alm):
@@ -145,11 +169,14 @@ class SHT:
         tlm = jnp.asarray(tlm)
         batch_shape = tlm.shape[:-1]
         A = self._to_grid(tlm.reshape((-1, tlm.shape[-1])))
-        Fp, _ = legendre_synth_pair(A * _facl(self.lmax)[:, None], None, 0,
+        A = self._sc(A * _facl(self.lmax).astype(self.dtype)[:, None], 'lm_m')
+        Fp, _ = legendre_synth_pair(A, None, 0,
                                     self.geom.theta, grid_token=self._tok(),
                                     dtype=self.dtype, engine=self.engine)
+        Fp = self._sc(self._sc(Fp, 'theta_m'), 'theta_r')
         Fm = jnp.conj(Fp)
         f = _to_rings(Fp, Fm, self.geom.nphi, self.geom.phi0).real
+        f = self._sc(f, 'map')
         return f.reshape(batch_shape + f.shape[-2:])
 
     def map2alm(self, m):
@@ -160,12 +187,15 @@ class SHT:
         m = jnp.asarray(m)
         batch_shape = m.shape[:-2]
         mc = m.reshape((-1,) + m.shape[-2:]).astype(self.cdtype)
-        Gp, _ = _from_rings(mc, self.mmax, self.geom.phi0)
-        w = jnp.asarray(self.geom.weight)[:, None]
+        Gp, _ = _from_rings(self._sc(mc, 'map'), self.mmax, self.geom.phi0)
+        Gp = self._sc(self._sc(Gp, 'theta_r'), 'theta_m')
+        w = jnp.asarray(self.geom.weight.astype(self.dtype))[:, None]
         A, _ = legendre_anal_pair(Gp * w, None, 0, self.geom.theta, self.lmax,
                                   grid_token=self._tok(), dtype=self.dtype,
                                   engine=self.engine)
-        out = ualm.lm2alm(A * _facl(self.lmax)[:, None], self.lmax)
+        out = ualm.lm2alm(self._sc(A, 'lm_m') * _facl(self.lmax).astype(self.dtype)[:, None],
+                          self.lmax)
+        out = self._sc(out, 'alm')
         return out.reshape(batch_shape + out.shape[-1:])
 
     # ------------------------------------------------------------------ spin s
@@ -181,7 +211,7 @@ class SHT:
         A = -(G + 1j * C)
         Abar = -(G - 1j * C)
         Fp, Fm = self._synth_pair(A, Abar, spin)
-        f = _to_rings(Fp, Fm, self.geom.nphi, self.geom.phi0)
+        f = self._sc(_to_rings(Fp, Fm, self.geom.nphi, self.geom.phi0), 'map')
         f = f.reshape(batch_shape + f.shape[-2:])
         return f.real, f.imag
 
@@ -193,7 +223,7 @@ class SHT:
         batch_shape = m1.shape[:-2]
         mc = (m1 + 1j * jnp.asarray(m2)).reshape((-1,) + m1.shape[-2:]).astype(self.cdtype)
         A, B = self._anal_pair(mc, spin)
-        glm = ualm.lm2alm(-0.5 * (A + B), self.lmax)
-        clm = ualm.lm2alm(0.5j * (A - B), self.lmax)
+        glm = self._sc(ualm.lm2alm(-0.5 * (A + B), self.lmax), 'alm')
+        clm = self._sc(ualm.lm2alm(0.5j * (A - B), self.lmax), 'alm')
         return glm.reshape(batch_shape + glm.shape[-1:]), \
             clm.reshape(batch_shape + clm.shape[-1:])

@@ -34,8 +34,35 @@ def sims_sharding(mesh, ndim=2):
 
 
 def maps_sharding(mesh):
-    """Sharding for (sims, nrings, nphi) maps: sims x phi sharded."""
-    return NamedSharding(mesh, P('sims', None, 'm'))
+    """Sharding for (sims, nrings, nphi) ring maps: sims x ring blocks.
+
+    Rings (not phi) shard over the 'm' mesh axis so the longitude FFTs stay whole-ring
+    local; the m columns of the Legendre phase shard over the same axis, with one
+    all-to-all between the phases (see shard_sht)."""
+    return NamedSharding(mesh, P('sims', 'm', None))
+
+
+def shard_sht(sht, mesh):
+    """A copy of `sht` whose transforms run with the full two-phase mesh sharding.
+
+    Legendre phase: (batch, l/rings, m) arrays partition their m columns over the 'm'
+    mesh axis (the lmax-scaling axis — the recursion work splits).  Longitude phase:
+    (batch, rings, nphi) maps partition their rings over the same axis (each device FFTs
+    whole rings).  The transpose between the phases is an explicit resharding
+    P(sims, None, 'm') -> P(sims, 'm', None), which XLA lowers to an all-to-all over the
+    'm' axis.  This is SURVEY §5's lmax-scaling design (the ring-attention analog: ring
+    blocks x m blocks with an all-to-all between the Legendre and FFT phases).
+
+    The returned object must be used under `jit` within the mesh context."""
+    import copy
+    s = copy.copy(sht)
+    s.shard = {'mesh': mesh,
+               'lm_m': P('sims', None, 'm'),      # (batch, l, m) harmonic grids
+               'theta_m': P('sims', None, 'm'),   # (batch, rings, m), Legendre layout
+               'theta_r': P('sims', 'm', None),   # (batch, rings, m), FFT layout
+               'map': P('sims', 'm', None),       # (batch, rings, nphi) ring maps
+               'alm': P('sims', None)}            # (batch, nalm) triangular alms
+    return s
 
 
 def shard_batch(mesh, arr):

@@ -56,9 +56,10 @@ def test_sharded_qe_batch_matches_unsharded():
                      out_shardings=(sims_sharding(mesh, 2), sims_sharding(mesh, 2)))
         qlm_sh, cl_sh = fn(shard_batch(mesh, tlm))
     # each sim's QE is independent; sharded vs unsharded differ only by XLA
-    # fusion/reduction order (measured ~2e-16 relative)
-    assert np.abs(np.asarray(qlm_sh) - qlm_ref).max() <= 1e-13 * np.abs(qlm_ref).max()
-    assert np.abs(np.asarray(cl_sh) - cl_ref).max() <= 1e-13 * np.abs(cl_ref).max()
+    # fusion/reduction order, at the f32 working precision of this step's engine
+    # (measured ~1e-7 relative)
+    assert np.abs(np.asarray(qlm_sh) - qlm_ref).max() <= 1e-6 * np.abs(qlm_ref).max()
+    assert np.abs(np.asarray(cl_sh) - cl_ref).max() <= 1e-6 * np.abs(cl_ref).max()
     # and the output really is distributed: every device holds a 1-sim shard
     shards = qlm_sh.addressable_shards
     assert len(shards) == 8 and all(s.data.shape[0] == 1 for s in shards)
@@ -166,3 +167,61 @@ def test_shard_batch_layout():
     for s in sharded.addressable_shards:
         assert s.data.shape == (1, 3)
         assert np.array_equal(np.asarray(s.data), arr[s.index])
+
+
+def test_full_sht_roundtrip_sharded_both_phases():
+    """Full alm2map/map2alm sharded over ('sims', 'm'): the Legendre phase partitions m
+    columns, the FFT phase partitions rings (each shard FFTs whole rings), with the
+    explicit all-to-all resharding between the phases — and the results match the
+    unsharded transforms."""
+    from plancklens_tpu.parallel import shard_sht
+    lmax = 47
+    geom = gl_geometry(lmax)
+    sht = SHT(geom, lmax)
+    cls = _cls(lmax)
+    tlm = _random_tlm_batch(cls, batch=4, lmax=lmax, seed=9)
+    map_ref = np.asarray(sht.alm2map(jnp.asarray(tlm)))
+    alm_ref = np.asarray(sht.map2alm(jnp.asarray(map_ref)))
+
+    mesh = make_mesh(n_sims=4, n_m=2)
+    from plancklens_tpu.parallel.mesh import maps_sharding
+    with mesh:
+        ssht = shard_sht(sht, mesh)
+        synth = jax.jit(ssht.alm2map, in_shardings=sims_sharding(mesh, 2),
+                        out_shardings=maps_sharding(mesh))
+        anal = jax.jit(ssht.map2alm, in_shardings=maps_sharding(mesh),
+                       out_shardings=sims_sharding(mesh, 2))
+        m_sh = synth(shard_batch(mesh, tlm))
+        a_sh = anal(m_sh)
+        # FFT phase really is ring-partitioned: every shard holds a ring block
+        nh = (geom.nrings + 1) // 2
+        assert all(s.data.shape[1] in (nh, geom.nrings - nh)
+                   for s in m_sh.addressable_shards)
+        # the compiled synthesis contains the inter-phase all-to-all
+        txt = synth.lower(shard_batch(mesh, tlm)).compile().as_text()
+        assert 'all-to-all' in txt or 'all-to-all' in txt.replace('_', '-'), \
+            'no all-to-all in the compiled sharded synthesis'
+    assert np.allclose(np.asarray(m_sh), map_ref, atol=1e-11 * np.abs(map_ref).max())
+    assert np.allclose(np.asarray(a_sh), alm_ref, atol=1e-11 * np.abs(alm_ref).max())
+
+    # spin-2 round trip through the same sharded path (no l < 2 modes at spin 2)
+    ls, _ = ualm._lm_indices(lmax)
+    elm = _random_tlm_batch(cls, batch=4, lmax=lmax, seed=10) * (ls >= 2)
+    blm = 0.1 * _random_tlm_batch(cls, batch=4, lmax=lmax, seed=11) * (ls >= 2)
+    q_ref, u_ref = (np.asarray(x) for x in sht.alm2map_spin((jnp.asarray(elm),
+                                                             jnp.asarray(blm)), 2))
+    with mesh:
+        ssht = shard_sht(sht, mesh)
+        synth2 = jax.jit(lambda g, c: ssht.alm2map_spin((g, c), 2),
+                         in_shardings=(sims_sharding(mesh, 2), sims_sharding(mesh, 2)),
+                         out_shardings=(maps_sharding(mesh), maps_sharding(mesh)))
+        q_sh, u_sh = synth2(shard_batch(mesh, elm), shard_batch(mesh, blm))
+        anal2 = jax.jit(lambda q, u: ssht.map2alm_spin((q, u), 2),
+                        in_shardings=(maps_sharding(mesh), maps_sharding(mesh)),
+                        out_shardings=(sims_sharding(mesh, 2), sims_sharding(mesh, 2)))
+        e_sh, b_sh = anal2(q_sh, u_sh)
+    assert np.allclose(np.asarray(q_sh), q_ref, atol=1e-11 * np.abs(q_ref).max())
+    assert np.allclose(np.asarray(e_sh), np.asarray(elm),
+                       atol=1e-9 * np.abs(np.asarray(elm)).max())
+    assert np.allclose(np.asarray(b_sh), np.asarray(blm),
+                       atol=1e-9 * np.abs(np.asarray(elm)).max())
