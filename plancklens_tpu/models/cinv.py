@@ -153,6 +153,177 @@ class NinvFilterT:
         return fwd_op, calc_prep, pre_op_diag, (rescal_cl, dl)
 
 
+def _dmat_np(lmax, n, theta):
+    """f64 numpy (lmax+1, mmax+1, nrings) array of d^l_{m,n}(theta): the engine's scaled
+    Wigner recursion (ops/sht/core.recursion_tables) run on host — guarantees the exact
+    conventions of the jitted Legendre scans."""
+    from ..ops.sht.core import recursion_tables
+    t = recursion_tables(lmax, lmax, n, np.asarray(theta, dtype=np.float64),
+                         dtype=np.float64)
+    S, tb = t['S'], t['np']
+    alpha, beta, gamma = tb['alpha'], tb['beta'], tb['gamma']
+    l0, sv, sk, x = tb['l0'], tb['seed_v'], tb['seed_k'], tb['x']
+    nrings, mm = len(np.asarray(theta)), lmax + 1
+    out = np.zeros((mm, mm, nrings))
+    d_m1 = np.zeros((nrings, mm))
+    d = np.where(l0[None, :] == 0, sv, 0.)
+    k = np.where(l0[None, :] == 0, sk, 0).astype(np.int64)
+    thresh, down = 2.0 ** (S // 2), 2.0 ** (-S)
+    for l in range(mm):
+        out[l] = (d * np.exp2(S * k.astype(np.float64))).T
+        d_next = (alpha[l][None, :] * x[:, None] + beta[l][None, :]) * d \
+            - gamma[l][None, :] * d_m1
+        inject = (l + 1) == l0[None, :]
+        d_new = np.where(inject, 0., d)
+        d_next = np.where(inject, sv, d_next)
+        k = np.where(inject, sk, k)
+        cond = (k < 0) & (np.abs(d_next) > thresh)
+        fac = np.where(cond, down, 1.)
+        d_m1, d, k = d_new * fac, d_next * fac, k + cond
+    return out
+
+
+def _rlm_l_of(lmax):
+    """l of every real-harmonic (rlm) packing index."""
+    return np.floor(np.sqrt(np.arange((lmax + 1) ** 2))).astype(int)
+
+
+def dense_block_analytic_t(filt, lmax_dense, dl, bdl):
+    """Exact host-side (f64) low-l block of the rescaled T forward operator, in the
+    real-harmonic basis, assembled analytically from the separable ring structure
+
+        M[(lm),(l'm')] = S^{-1} delta + bdl_l bdl_l' fac_l fac_l'
+                         sum_j d^l_m(j) d^{l'}_{m'}(j) x [ring Fourier modes of N^{-1}]
+
+    with template deprojection as the exact low-rank correction.  No operator probing:
+    on the f32 TPU path a probed matrix carries ~1e-6 relative noise which, inverted
+    against the block's ~1e8 conditioning, destroys the preconditioner (measured:
+    774 f32 iterations vs 78 in f64 with the probed dense-32 block, BENCH_r02); the
+    analytic block is exact at any solver precision and far cheaper to build than
+    probing (which needs (lmax_dense+1)^2 full-resolution forward applies).
+    """
+    geom = filt.geom
+    Ld = lmax_dense
+    theta = np.asarray(geom.theta, dtype=np.float64)
+    nphi = geom.nphi
+    phis = geom.phi0 + 2. * np.pi * np.arange(nphi) / nphi
+    ninv = np.asarray(filt.ninv, dtype=np.float64)  # per-pixel inverse variance
+    fac = np.sqrt((2. * np.arange(Ld + 1) + 1.) / (4. * np.pi))
+    D = _dmat_np(Ld, 0, theta) * fac[:, None, None]          # [l, m, j], fac included
+    ks = np.arange(2 * Ld + 1)
+    CC = ninv @ np.cos(np.outer(phis, ks))                   # (nrings, 2 Ld + 1)
+    SA = ninv @ np.sin(np.outer(phis, ks))
+    nr = (Ld + 1) ** 2
+    M = np.zeros((nr, nr))
+    ls = np.arange(Ld + 1)
+    rt2 = np.sqrt(2.)
+
+    def idx(m, kind):  # rlm packing indices of (all l, m); kind 'c'/'s'
+        # rows/cols with l < m alias other rlm slots, but their D rows are identically
+        # zero, so the scatters only add zeros there
+        if m == 0:
+            return ls ** 2
+        return ls ** 2 + 2 * m - (1 if kind == 'c' else 0)
+
+    # one einsum per (m1, block kind) over all m2 at once: a python pair loop is
+    # O(Ld^2) numpy dispatches (minutes at Ld >= 96); this form is O(Ld) calls
+    m2s = np.arange(Ld + 1)
+    idx_c = [idx(m, 'c') for m in range(Ld + 1)]
+    idx_s = [idx(m, 's') for m in range(Ld + 1)]
+    Dt = np.ascontiguousarray(D.transpose(1, 2, 0))          # [m2, j, l']
+
+    def add_blocks(rows, col_idx, B, m2_from=0):
+        for m2 in range(m2_from, Ld + 1):
+            M[np.ix_(rows, col_idx[m2])] += B[:, m2, :]
+
+    for m1 in range(Ld + 1):
+        dk, sk_ = np.abs(m2s - m1), m2s + m1
+        sgn = np.where(m2s >= m1, 1., -1.)   # SA(m2 - m1) = sgn * SA(|m2 - m1|)
+        D1 = D[:, m1, :]
+        # cos-cos: the dk == sk degeneracy at m = 0 folds into the coefficient
+        one0 = (m1 == 0) != (m2s == 0)
+        ccoef = np.where(one0, rt2 / 2., np.where((m1 == 0) & (m2s == 0), 0.5, 1.))
+        Wcc = ccoef[None, :] * (CC[:, dk] + CC[:, sk_])
+        add_blocks(idx_c[m1], idx_c,
+                   np.einsum('lj,jm,mjk->lmk', D1, Wcc, Dt, optimize=True))
+        # cos-sin
+        Wcs = -(rt2 / 2. if m1 == 0 else 1.) * (SA[:, sk_] + sgn[None, :] * SA[:, dk])
+        add_blocks(idx_c[m1], idx_s,
+                   np.einsum('lj,jm,mjk->lmk', D1, Wcs, Dt, optimize=True), m2_from=1)
+        if m1 > 0:
+            # sin-cos and sin-sin
+            sccoef = np.where(m2s == 0, rt2 / 2., 1.)
+            Wsc = -sccoef[None, :] * (SA[:, sk_] - sgn[None, :] * SA[:, dk])
+            add_blocks(idx_s[m1], idx_c,
+                       np.einsum('lj,jm,mjk->lmk', D1, Wsc, Dt, optimize=True))
+            Wss = CC[:, dk] - CC[:, sk_]
+            add_blocks(idx_s[m1], idx_s,
+                       np.einsum('lj,jm,mjk->lmk', D1, Wss, Dt, optimize=True),
+                       m2_from=1)
+
+    if filt.PtNP_inv is not None:
+        # exact low-rank template-deprojection correction: M -= U^T (P^T N^-1 P)^-1 U
+        ntmpl = filt.templates.shape[0]
+        U = np.zeros((ntmpl, nr))
+        cosm = np.cos(np.outer(phis, ls))
+        sinm = np.sin(np.outer(phis, ls))
+        for t in range(ntmpl):
+            Wt = ninv * np.asarray(filt.templates[t], dtype=np.float64)
+            RWc = Wt @ cosm                                   # (nrings, Ld+1)
+            RWs = Wt @ sinm
+            U[t, ls ** 2] = np.einsum('lj,j->l', D[:, 0, :], RWc[:, 0])
+            for m in range(1, Ld + 1):
+                lm = np.arange(m, Ld + 1)   # rlm slots l^2+2m-1/2m exist only for l >= m
+                U[t, lm ** 2 + 2 * m - 1] = rt2 * np.einsum('lj,j->l',
+                                                            D[lm, m, :], RWc[:, m])
+                U[t, lm ** 2 + 2 * m] = -rt2 * np.einsum('lj,j->l',
+                                                         D[lm, m, :], RWs[:, m])
+        M -= U.T @ np.asarray(filt.PtNP_inv) @ U
+
+    lof = _rlm_l_of(Ld)
+    bl = np.asarray(bdl, dtype=np.float64)[lof]
+    M = bl[:, None] * M * bl[None, :]
+    M[np.arange(nr), np.arange(nr)] += cli(np.asarray(dl, dtype=np.float64))[lof]
+    return 0.5 * (M + M.T)
+
+
+def _dense_inverse(M, probe_noise=0.):
+    """Eigen-pseudo-inverse of a dense block.  `probe_noise`: relative matrix noise
+    level (nonzero for f32-probed blocks); eigenvalues below a few x that level are
+    unreliable and their inverses are clamped instead of amplifying the noise."""
+    eigv, eigw = np.linalg.eigh(M)
+    lmax_abs = np.max(np.abs(eigv))
+    keep = eigv > 1e-12 * lmax_abs
+    floor = max(3. * probe_noise, 1e-14) * lmax_abs
+    inv = 1. / np.maximum(eigv[keep], floor)
+    return np.asarray((eigw[:, keep] * inv) @ eigw[:, keep].T)
+
+
+def _dense_apply(Minv_j, lmax_dense, lmax):
+    def pre_op(r):
+        r_d = ualm.alm_copy(r, lmax, lmax_dense)
+        rr = ualm.alm2rlm(r_d, lmax_dense)
+        xr = rr @ Minv_j.T
+        x_d = ualm.rlm2alm(xr, lmax_dense)
+        return ualm.alm_copy(x_d, lmax_dense, lmax)
+    return pre_op
+
+
+def dense_pre_op_analytic_t(filt, lmax_dense, lmax, dl, bdl, cacher=None, cache_key=None):
+    """Dense low-l preconditioner from the analytic f64 block (see
+    dense_block_analytic_t) — the CinvT default."""
+    if cacher is not None and cache_key is not None and cacher.is_cached(cache_key):
+        Minv_j = np.asarray(cacher.load(cache_key))
+    else:
+        M = dense_block_analytic_t(filt, lmax_dense, dl[:lmax_dense + 1],
+                                   bdl[:lmax_dense + 1])
+        Minv_j = _dense_inverse(M)
+        if cacher is not None and cache_key is not None:
+            cacher.cache(cache_key, Minv_j)
+    return _dense_apply(Minv_j.astype(np.float32) if not jax.config.jax_enable_x64
+                        else Minv_j, lmax_dense, lmax)
+
+
 def dense_pre_op(fwd_op, lmax_dense, lmax, chunk=512, cacher=None, cache_key=None):
     """Low-l dense preconditioner: probe fwd_op on all (lmax_dense+1)^2 real-harmonic basis
     vectors with chunked batched applies, eigendecompose, pseudo-invert
@@ -173,21 +344,15 @@ def dense_pre_op(fwd_op, lmax_dense, lmax, chunk=512, cacher=None, cache_key=Non
         cols_d = ualm.alm_copy(cols, lmax, lmax_dense)
         M = np.asarray(ualm.alm2rlm(cols_d, lmax_dense))  # (nrlm, nrlm)
         M = 0.5 * (M + M.T)
-        eigv, eigw = np.linalg.eigh(M)
-        keep = eigv > 1e-12 * np.max(np.abs(eigv))
-        Minv = (eigw[:, keep] * (1. / eigv[keep])) @ eigw[:, keep].T
-        Minv_j = np.asarray(Minv)
+        # f32 probing leaves ~1e-6 relative noise in M; the inverse of the noisy
+        # small-eigenvalue subspace would be pure amplified noise (it destroyed the f32
+        # preconditioner outright, cf. dense_block_analytic_t) — clamp it
+        probe32 = np.asarray(cols).dtype == np.complex64
+        Minv_j = _dense_inverse(M, probe_noise=1e-6 if probe32 else 0.)
         if cacher is not None and cache_key is not None:
             cacher.cache(cache_key, Minv_j)
 
-    def pre_op(r):
-        r_d = ualm.alm_copy(r, lmax, lmax_dense)
-        rr = ualm.alm2rlm(r_d, lmax_dense)
-        xr = rr @ Minv_j.T
-        x_d = ualm.rlm2alm(xr, lmax_dense)
-        return ualm.alm_copy(x_d, lmax_dense, lmax)
-
-    return pre_op
+    return _dense_apply(Minv_j, lmax_dense, lmax)
 
 
 def dense_pre_op_stacked(fwd_op, lmax_dense, lmax, ncomp, chunk=256, cacher=None,
@@ -214,9 +379,8 @@ def dense_pre_op_stacked(fwd_op, lmax_dense, lmax, ncomp, chunk=256, cacher=None
         cols_d = ualm.alm_copy(cols.reshape(n * ncomp, nalm), lmax, lmax_dense)
         M = np.asarray(ualm.alm2rlm(cols_d, lmax_dense)).reshape(n, n)
         M = 0.5 * (M + M.T)
-        eigv, eigw = np.linalg.eigh(M)
-        keep = eigv > 1e-12 * np.max(np.abs(eigv))
-        Minv_j = np.asarray((eigw[:, keep] * (1. / eigv[keep])) @ eigw[:, keep].T)
+        probe32 = np.asarray(cols).dtype == np.complex64
+        Minv_j = _dense_inverse(M, probe_noise=1e-6 if probe32 else 0.)
         if cacher is not None and cache_key is not None:
             cacher.cache(cache_key, Minv_j)
 
@@ -272,11 +436,14 @@ class CinvT:
             self.filt.make_ops(lmax, cl['tt'])
         self._ms = _lm_ms(lmax)
         if lmax_dense > 0:
-            key = _dense_cache_key('tt', lmax_dense, lmax,
+            key = _dense_cache_key('tta', lmax_dense, lmax,
                                    [self.filt.ninv, self.cl['tt'][:lmax + 1], self.transf])
-            dense = dense_pre_op(self.fwd_op, min(lmax_dense, lmax), lmax,
-                                 cacher=dense_cacher, cache_key=key)
-            self.pre_op = split_pre_op(dense, self.pre_diag, min(lmax_dense, lmax), lmax)
+            ld = min(lmax_dense, lmax)
+            # bdl of the rescaled system: beam x 1/rescal (cf. make_ops)
+            bdl = self.transf[:lmax + 1] * cli(self.rescal_cl)
+            dense = dense_pre_op_analytic_t(self.filt, ld, lmax, self.dl, bdl,
+                                            cacher=dense_cacher, cache_key=key)
+            self.pre_op = split_pre_op(dense, self.pre_diag, ld, lmax)
         else:
             self.pre_op = self.pre_diag
 

@@ -133,7 +133,7 @@ def legendre_synth_pallas(C, tables, x, interpret=False):
     """Drop-in synthesis using the Pallas kernel; C (batch, lmax+1, mmax+1) complex64."""
     C = jnp.asarray(C)
     Cl = jnp.moveaxis(C, 1, 0)  # (lmax+1, B, M)
-    tb = tables.get('dev', tables)
+    tb = tables.get('np', tables)  # host tables; dev flavour may be unmaterialised
     ore, oim = _synth_pallas(tables['S'],
                              jnp.asarray(tb['alpha'], jnp.float32),
                              jnp.asarray(tb['beta'], jnp.float32),
@@ -270,7 +270,7 @@ def legendre_anal_pallas(Q, tables, x, lmax, interpret=False):
     pre-weighted by the quadrature weights (as core.legendre_anal expects).
     Returns (batch, lmax+1, mmax+1) complex64."""
     Q = jnp.asarray(Q)
-    tb = tables.get('dev', tables)
+    tb = tables.get('np', tables)  # host tables; dev flavour may be unmaterialised
     are, aim = _anal_pallas(tables['S'], lmax + 1,
                             jnp.asarray(tb['alpha'], jnp.float32),
                             jnp.asarray(tb['beta'], jnp.float32),

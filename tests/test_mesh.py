@@ -71,8 +71,8 @@ def test_sharded_ivfs_adapter_matches_and_distributes():
     import os
     import importlib.util
     from plancklens_tpu.parallel.mesh import ShardedIVFS
-    os.environ['PLK_LMAX_IVF'] = '48'
-    os.environ['PLK_LMAX_QLM'] = '48'
+    os.environ['PLK_LMAX_IVF'] = '32'
+    os.environ['PLK_LMAX_QLM'] = '32'
     os.environ['PLK_NSIMS'] = '8'
     spec = importlib.util.spec_from_file_location(
         'parfile_mesh_test',

@@ -123,16 +123,19 @@ def test_profiled_source_keys():
     # their bias-hardened combinations (reference grammar: plancklens/qest.py:109-114,
     # map builder _get_sim_ntt qest.py:293-298; the reference ships no dtt builder).
     from plancklens_tpu.models.qest import _almxfl
+    # reduced band limit: the algebraic identities under test are scale-free
+    LM = 48
+    fal = {k: v[:LM + 1] for k, v in FAL.items()}
     # with a unit beam the inverse-beam legs reduce to the point-source weights: the ntt
     # map must equal the stt map exactly
-    unit = np.ones(LMAX + 1)
-    qlib_u = QELib(IVFS, IVFS, CLS_LEN, LMAX, LMAX, transf=unit)
+    unit = np.ones(LM + 1)
+    qlib_u = QELib(IVFS, IVFS, CLS_LEN, LM, LM, transf=unit)
     assert np.allclose(np.asarray(qlib_u.get_sim_qlm('ntt', 0)),
                        np.asarray(qlib_u.get_sim_qlm('stt', 0)), rtol=1e-10, atol=1e-30)
     # non-trivial beam: s / n / d all distinct, bh combos follow the response algebra
-    transf = np.exp(-0.5 * np.arange(LMAX + 1) * np.arange(1, LMAX + 2) * (2e-2) ** 2)
-    resplib = qresp.RespLib(LMAX, CLS_LEN, CLS_LEN, FAL, LMAX, transf=transf)
-    qlib = QELib(IVFS, IVFS, CLS_LEN, LMAX, LMAX, resplib=resplib, transf=transf)
+    transf = np.exp(-0.5 * np.arange(LM + 1) * np.arange(1, LM + 2) * (2e-2) ** 2)
+    resplib = qresp.RespLib(LM, CLS_LEN, CLS_LEN, fal, LM, transf=transf)
+    qlib = QELib(IVFS, IVFS, CLS_LEN, LM, LM, resplib=resplib, transf=transf)
     ntt = np.asarray(qlib.get_sim_qlm('ntt', 0))
     dtt = np.asarray(qlib.get_sim_qlm('dtt', 0))
     stt = np.asarray(qlib.get_sim_qlm('stt', 0))
@@ -149,5 +152,5 @@ def test_profiled_source_keys():
     for kQE, ks in (('ptt', 'n'), ('ptt', 'd')):
         R_bh = np.asarray(resplib.get_response('%s_bh_%s' % (kQE, ks), ks))
         R_raw = np.asarray(resplib.get_response(kQE, ks))
-        sel = slice(2, LMAX + 1)
+        sel = slice(2, LM + 1)
         assert np.max(np.abs(R_bh[sel])) < 1e-8 * np.max(np.abs(R_raw[sel])), (kQE, ks)

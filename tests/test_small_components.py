@@ -90,7 +90,7 @@ def test_alm_nlev_lib_widnoise():
     nt2 = (nlev_t / 60. / 180. * np.pi) ** 2
     expect = transf ** 2 * cls['tt'][:lmax + 1] + nt2
     cl = np.zeros(lmax + 1)
-    nmc = 40
+    nmc = 16
     for i in range(nmc):
         cl += np.asarray(ualm.alm2cl(lib.get_sim_tlm(i), lmax)) / nmc
     sel = slice(5, lmax)
