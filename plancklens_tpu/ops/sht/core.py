@@ -99,8 +99,9 @@ def recursion_tables(lmax, mmax, n, theta, grid_token=None, dtype=np.float64):
     return out
 
 
-@partial(jax.jit, static_argnums=(0, 1))
-def _legendre_scan(mode, S, C_or_Q, alpha, beta, gamma, l0, seed_v, seed_k, x):
+@partial(jax.jit, static_argnums=(0, 1, 10))
+def _legendre_scan(mode, S, C_or_Q, alpha, beta, gamma, l0, seed_v, seed_k, x,
+                   mxu=False):
     """Scan over l of the scaled d-recursion.
 
     mode 'synth':  C_or_Q (batch, lmax+1, mmax+1) -> G (batch, nrings, mmax+1)
@@ -135,6 +136,13 @@ def _legendre_scan(mode, S, C_or_Q, alpha, beta, gamma, l0, seed_v, seed_k, x):
     # steps and the large (batch, nrings, m) accumulator is read/written once per chunk
     # instead of once per l — the accumulator's HBM traffic dominates otherwise
     CHUNK = int(__import__('os').environ.get('PLK_SHT_CHUNK', 8))  # perf knob
+    # PLK_SHT_MXU=1: gather the chunk's d-values into an (l, rings, m) stack and do the
+    # accumulate as ONE einsum contracting l — a batched-(over m) (batch x l)@(l x rings)
+    # GEMM, i.e. MXU-shaped on TPU (BLAS-shaped on CPU) instead of CHUNK sequential
+    # multiply-adds on the VPU. Worthwhile once batch reaches GEMM-efficient sizes
+    # (production sims batches); at small batch the recursion stream dominates either way
+    # (docs/PERF.md roofline).
+    MXU = mxu
     npad = (-lmaxp1) % CHUNK
     nchunks = (lmaxp1 + npad) // CHUNK
 
@@ -163,12 +171,20 @@ def _legendre_scan(mode, S, C_or_Q, alpha, beta, gamma, l0, seed_v, seed_k, x):
             Cparts = xs[4:]
             d_m1, d, k = carry[:3]
             accs = carry[3:]
-            locals_ = tuple(jnp.zeros(a.shape, dtype=a.dtype) for a in accs)
-            for j in range(CHUNK):
-                deff = (d * jnp.exp2((S * k).astype(rdtype))).astype(adtype)
-                locals_ = tuple(loc + Cp[j][:, None, :] * deff[None, :, :]
-                                for loc, Cp in zip(locals_, Cparts))
-                d_m1, d, k = recurse(lc[j], d_m1, d, k, alc[j], blc[j], glc[j])
+            if MXU:
+                dstack = []
+                for j in range(CHUNK):
+                    dstack.append((d * jnp.exp2((S * k).astype(rdtype))).astype(adtype))
+                    d_m1, d, k = recurse(lc[j], d_m1, d, k, alc[j], blc[j], glc[j])
+                dmat = jnp.stack(dstack)           # (CHUNK, nrings, m)
+                locals_ = tuple(jnp.einsum('lbm,lrm->brm', Cp, dmat) for Cp in Cparts)
+            else:
+                locals_ = tuple(jnp.zeros(a.shape, dtype=a.dtype) for a in accs)
+                for j in range(CHUNK):
+                    deff = (d * jnp.exp2((S * k).astype(rdtype))).astype(adtype)
+                    locals_ = tuple(loc + Cp[j][:, None, :] * deff[None, :, :]
+                                    for loc, Cp in zip(locals_, Cparts))
+                    d_m1, d, k = recurse(lc[j], d_m1, d, k, alc[j], blc[j], glc[j])
             return (d_m1, d, k) + tuple(a + l_ for a, l_ in zip(accs, locals_)), None
 
         xs = tuple(reshape_chunks(a) for a in (ls, alpha_p, beta_p, gamma_p) + C_parts)
@@ -182,6 +198,14 @@ def _legendre_scan(mode, S, C_or_Q, alpha, beta, gamma, l0, seed_v, seed_k, x):
         def step_a(carry, xs):
             lc, alc, blc, glc = xs
             d_m1, d, k = carry
+            if MXU:
+                dstack = []
+                for j in range(CHUNK):
+                    dstack.append((d * jnp.exp2((S * k).astype(rdtype))).astype(adtype))
+                    d_m1, d, k = recurse(lc[j], d_m1, d, k, alc[j], blc[j], glc[j])
+                dmat = jnp.stack(dstack)           # (CHUNK, nrings, m)
+                return (d_m1, d, k), tuple(jnp.einsum('brm,lrm->lbm', Qp, dmat)
+                                           for Qp in Q_parts)
             emits = []
             for j in range(CHUNK):
                 deff = (d * jnp.exp2((S * k).astype(rdtype))).astype(adtype)
@@ -440,6 +464,10 @@ def _run_pair(mode, data_p, data_m, spin, theta, lmax, grid_token, dtype):
                              tb_p['l0'], tb_p['seed_v'], tb_p['seed_k'], tb_m['x'])
 
 
+def _mxu_enabled():
+    return __import__('os').environ.get('PLK_SHT_MXU', '0') == '1'
+
+
 def _ns_enabled():
     return __import__('os').environ.get('PLK_SHT_NS', '1') != '0'
 
@@ -491,7 +519,8 @@ def legendre_synth(C, n, theta, grid_token=None, dtype=np.float64, engine='xla')
         return legendre_synth_pallas(C, t, np.cos(np.asarray(theta)), interpret=interp)
     tb = _tabs_for(t, C)
     return _legendre_scan('synth', t['S'], jnp.asarray(C), tb['alpha'], tb['beta'],
-                          tb['gamma'], tb['l0'], tb['seed_v'], tb['seed_k'], tb['x'])
+                          tb['gamma'], tb['l0'], tb['seed_v'], tb['seed_k'], tb['x'],
+                          mxu=_mxu_enabled())
 
 
 def legendre_anal(Q, n, theta, lmax, grid_token=None, dtype=np.float64, engine='xla'):
@@ -506,4 +535,5 @@ def legendre_anal(Q, n, theta, lmax, grid_token=None, dtype=np.float64, engine='
         return legendre_anal_pallas(Q, t, np.cos(np.asarray(theta)), lmax, interpret=interp)
     tb = _tabs_for(t, Q)
     return _legendre_scan('anal', t['S'], jnp.asarray(Q), tb['alpha'], tb['beta'],
-                          tb['gamma'], tb['l0'], tb['seed_v'], tb['seed_k'], tb['x'])
+                          tb['gamma'], tb['l0'], tb['seed_v'], tb['seed_k'], tb['x'],
+                          mxu=_mxu_enabled())
