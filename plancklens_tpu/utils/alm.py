@@ -101,32 +101,56 @@ def lm2alm(lm, lmax):
     return lm[..., ls, ms]
 
 
-def alm2rlm(alm, lmax):
-    """Real-valued packing of a complex alm array (reference: plancklens/utils.py:37-54)."""
-    alm = jnp.asarray(alm)
-    rlm = jnp.zeros(alm.shape[:-1] + ((lmax + 1) ** 2,), dtype=alm.real.dtype)
-    ls = np.arange(lmax + 1)
-    rlm = rlm.at[..., ls ** 2].set(alm[..., ls].real)
+_RLM_MAPS = {}
+
+
+def _rlm_maps(lmax):
+    """Precomputed index maps between the triangular complex layout and the real (rlm)
+    packing: rlm index l^2 <-> a_l0 (real); l^2+2m-1 / l^2+2m <-> sqrt(2) Re / Im a_lm."""
+    if lmax in _RLM_MAPS:
+        return _RLM_MAPS[lmax]
+    nr = (lmax + 1) ** 2
+    src = np.zeros(nr, dtype=np.int64)      # triangular index feeding each rlm slot
+    imag = np.zeros(nr, dtype=bool)         # take the imaginary part
+    scale = np.ones(nr)
+    ls0 = np.arange(lmax + 1)
+    src[ls0 ** 2] = ls0                     # (l, 0)
     rt2 = np.sqrt(2.)
     for m in range(1, lmax + 1):
-        ls = np.arange(m, lmax + 1)
-        idx = getidx(lmax, ls, m)
-        rlm = rlm.at[..., ls ** 2 + 2 * m - 1].set(alm[..., idx].real * rt2)
-        rlm = rlm.at[..., ls ** 2 + 2 * m].set(alm[..., idx].imag * rt2)
-    return rlm
+        lm = np.arange(m, lmax + 1)
+        ti = getidx(lmax, lm, m)
+        src[lm ** 2 + 2 * m - 1] = ti
+        scale[lm ** 2 + 2 * m - 1] = rt2
+        src[lm ** 2 + 2 * m] = ti
+        imag[lm ** 2 + 2 * m] = True
+        scale[lm ** 2 + 2 * m] = rt2
+    # inverse: for each triangular index, the rlm slots of its real and imag parts
+    ls, ms = _lm_indices(lmax)
+    re_idx = np.where(ms == 0, ls ** 2, ls ** 2 + 2 * ms - 1)
+    im_idx = np.where(ms == 0, ls ** 2, ls ** 2 + 2 * ms)   # dummy for m = 0
+    has_im = (ms > 0).astype(float)
+    inv_scale = np.where(ms == 0, 1., 1. / rt2)
+    maps = (src, imag, scale, re_idx, im_idx, has_im, inv_scale)
+    if len(_RLM_MAPS) > 32:
+        _RLM_MAPS.pop(next(iter(_RLM_MAPS)))
+    _RLM_MAPS[lmax] = maps
+    return maps
+
+
+def alm2rlm(alm, lmax):
+    """Real-valued packing of a complex alm array (reference: plancklens/utils.py:37-54);
+    one gather instead of a per-m scatter loop."""
+    alm = jnp.asarray(alm)
+    src, imag, scale, *_ = _rlm_maps(lmax)
+    g = alm[..., src]
+    return jnp.where(imag, g.imag, g.real) * jnp.asarray(scale, dtype=alm.real.dtype)
 
 
 def rlm2alm(rlm, lmax):
     """Inverse of :func:`alm2rlm` (reference: plancklens/utils.py:56-69)."""
     rlm = jnp.asarray(rlm)
     cdtype = jnp.complex128 if rlm.dtype == jnp.float64 else jnp.complex64
-    alm = jnp.zeros(rlm.shape[:-1] + (getsize(lmax),), dtype=cdtype)
-    ls = np.arange(lmax + 1, dtype=int)
-    alm = alm.at[..., ls].set(rlm[..., ls ** 2])
-    irt2 = 1. / np.sqrt(2.)
-    for m in range(1, lmax + 1):
-        ls = np.arange(m, lmax + 1)
-        idx = getidx(lmax, ls, m)
-        alm = alm.at[..., idx].set((rlm[..., ls ** 2 + 2 * m - 1]
-                                    + 1j * rlm[..., ls ** 2 + 2 * m]) * irt2)
-    return alm
+    _, _, _, re_idx, im_idx, has_im, inv_scale = _rlm_maps(lmax)
+    re = rlm[..., re_idx]
+    im = rlm[..., im_idx] * jnp.asarray(has_im, dtype=rlm.dtype)
+    return ((re + 1j * im) * inv_scale).astype(cdtype)
