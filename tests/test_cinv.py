@@ -56,15 +56,11 @@ def test_cinv_homogeneous_matches_isotropic():
     assert err < 1e-4, err
 
 
-@pytest.mark.slow
-def test_cinv_masked_matches_dense_solve():
-    # ~20 min on a single core (validated: CG rel residual 1.1e-7, A-norm error vs the
-    # dense solve 1.9e-5 on the cond~1e8 masked system); the default tier covers the
-    # same compare for polarisation at lmax 24 in test_cinv_pol_masked_matches_dense_solve
-    # this configuration (band mask, smooth inhomogeneity) is validated at lmax 96, where
-    # the split dense+diag preconditioner converges the system to 1e-7; smaller band
-    # limits leave the masked modes too weakly constrained for a meaningful dense compare
-    lmax = 96
+def _masked_t_dense_compare(lmax, eps_min, iter_max, lmax_dense, rel_bound, errA_bound):
+    """Masked inhomogeneous T system (galactic band cut + smooth inhomogeneity) solved
+    by CG and compared against a brute-force dense solve of the probed operator in the
+    energy norm (the honest CG metric on a cond ~1e8 system, where a euclidean compare
+    is dominated by near-null masked modes)."""
     cls = camb_clfile(os.path.join(plancklens_tpu.DATAPATH, 'cls',
                                    'FFP10_wdipole_lensedCls.dat'), lmax=lmax)
     geom = gl_geometry(lmax)
@@ -78,19 +74,19 @@ def test_cinv_masked_matches_dense_solve():
     a = (rng.standard_normal(len(ls)) + 1j * rng.standard_normal(len(ls))) / np.sqrt(2.)
     a[ms == 0] = a[ms == 0].real * np.sqrt(2.)
     tlm = a * np.sqrt(cls['tt'][ls])
-    tmap = np.asarray(sht.alm2map(tlm)) + rng.standard_normal((geom.nrings, geom.nphi)) * sig_pix
+    tmap = np.asarray(sht.alm2map(tlm)) \
+        + rng.standard_normal((geom.nrings, geom.nphi)) * sig_pix
     ninv = 1. / sig_pix ** 2
     ninv = ninv * (1. + 0.5 * np.cos(geom.theta))[:, None]
     ninv = ninv * (np.abs(np.cos(geom.theta))[:, None] > 0.2)
 
     cinv = CinvT(lmax, geom, cls, transf, ninv, marge_monopole=False, marge_dipole=False,
-                 eps_min=1e-9, iter_max=800, lmax_dense=24)
+                 eps_min=eps_min, iter_max=iter_max, lmax_dense=lmax_dense)
     x, it, rel = cinv.solve_wf(tmap)
-    assert np.all(np.asarray(rel) < 1e-6), rel
+    assert np.all(np.asarray(rel) < rel_bound), rel
 
     nrlm = (lmax + 1) ** 2
-    eye = np.eye(nrlm)
-    basis = ualm.rlm2alm(eye, lmax)
+    basis = ualm.rlm2alm(np.eye(nrlm), lmax)
     cols = []
     for i in range(0, nrlm, 512):
         cols.append(np.asarray(ualm.alm2rlm(cinv.fwd_op(basis[i:i + 512]), lmax)))
@@ -99,11 +95,25 @@ def test_cinv_masked_matches_dense_solve():
     Asym = 0.5 * (A + A.T)
     x_dense = np.linalg.solve(Asym, b)
     x_cg = np.asarray(ualm.alm2rlm(x, lmax))[0]
-    # the masked system has cond(A) ~ 1e8 (measured), so a euclidean comparison is
-    # dominated by near-null masked modes; the energy (A-)norm is the honest CG metric
     dx = x_cg - x_dense
     errA = np.sqrt(dx @ (Asym @ dx) / (x_dense @ (Asym @ x_dense)))
-    assert errA < 5e-3, errA
+    assert errA < errA_bound, errA
+
+
+def test_cinv_masked_matches_dense_solve_small():
+    # default-tier masked-cinv accuracy assertion: ~1 min on a single core
+    # (measured: 800 CG iters to rel 3.1e-7, A-norm error vs dense 1.2e-5, cond 5.8e7)
+    _masked_t_dense_compare(48, eps_min=1e-9, iter_max=800, lmax_dense=24,
+                            rel_bound=1e-6, errA_bound=5e-4)
+
+
+@pytest.mark.slow
+def test_cinv_masked_matches_dense_solve():
+    # ~20 min on a single core (validated: CG rel residual 1.1e-7, A-norm error vs the
+    # dense solve 1.9e-5 on the cond~1e8 masked system); the default tier runs the same
+    # compare at lmax 48 (above) and for polarisation at lmax 24
+    _masked_t_dense_compare(96, eps_min=1e-9, iter_max=800, lmax_dense=24,
+                            rel_bound=1e-6, errA_bound=5e-3)
 
 
 def test_cinv_pol_homogeneous_matches_isotropic():
@@ -196,8 +206,8 @@ def test_cinv_tp_homogeneous_matches_jtp_isotropic():
         assert err < 1e-3, err
 
 
-@pytest.mark.slow
 def test_cinv_pol_masked_matches_dense_solve():
+    # default tier: seconds-scale at lmax 24 (the coupled E/B masked compare)
     """Masked, inhomogeneous-noise polarisation solve against the brute-force dense solve
     of the coupled E/B system (energy norm + eigen-pseudo-solve; the masked system is
     ill-conditioned and the l < 2 pol modes are pure null space).
