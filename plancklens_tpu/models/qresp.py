@@ -46,39 +46,60 @@ def _source_profile(qe_key, lmax, transf, profile):
     return np.asarray(transf, dtype=float)[:lmax + 1]
 
 
+# map selectors of the QE key grammar -> the signed spin set both legs run over
+_SELECTOR_SPINS = {'tt': (0,), '_p': (-2, 2), '': (0, -2, 2)}
+
+
+def _parse_key(qe_key):
+    """Split a spin-source QE key into (source letter, leg spin set, block projections).
+
+    Selectors: 'tt' = T-only legs, '_p' = polarisation-only legs, '' = MV (all of
+    T/E/B on both legs), 'ab' with a,b in 'teb' = one ordered field block, '_ab' =
+    the symmetrised ab + ba pair. The returned `blocks` is None (no restriction) or a
+    list of (first-leg field, second-leg field) letters to project onto."""
+    src, sel = qe_key[0], qe_key[1:]
+    if sel in _SELECTOR_SPINS:
+        return src, _SELECTOR_SPINS[sel], None
+    if len(sel) == 2 and sel[0] in 'teb' and sel[1] in 'teb':
+        return src, _SELECTOR_SPINS[''], [(sel[0], sel[1])]
+    if len(sel) == 3 and sel[0] == '_' and sel[1] in 'teb' and sel[2] in 'teb':
+        return src, _SELECTOR_SPINS[''], [(sel[1], sel[2]), (sel[2], sel[1])]
+    raise ValueError('qe key %s not recognized' % qe_key)
+
+
+def _conjugate_pair_weight(s):
+    """Weight of one signed-spin component: the +|s| and -|s| parts of a real spin
+    field each carry half of the signed-spin sum (a spin-0 field has only one)."""
+    return 1. if s == 0 else .5
+
+
 def get_qes(qe_key, lmax, cls_weight, lmax2=None, transf=None, profile=None):
     """Symbolic QE weights for a QE key, acting on inverse-variance filtered spin fields
     (reference behaviour: plancklens/qresp.py:50-101)."""
     if lmax2 is None:
         lmax2 = lmax
     if qe_key[0] in ['p', 'x', 'a', 'f', 's']:
-        if qe_key in ['ptt', 'xtt', 'att', 'ftt', 'stt']:
-            s_lefts = [0]
-        elif qe_key in ['p_p', 'x_p', 'a_p', 'f_p']:
-            s_lefts = [-2, 2]
-        else:
-            s_lefts = [0, -2, 2]
-        qes = []
-        s_rights_in = s_lefts
-        for s_left in s_lefts:
-            for sin in s_rights_in:
-                sout = -s_left
-                s_qe, irr1, cl_sosi, cL_out = get_covresp(qe_key[0], sout, sin, cls_weight,
-                                                          lmax2, transf=transf)
-                if np.any(cl_sosi):
-                    lega = qeleg(s_left, s_left,
-                                 0.5 * (1. + (s_left == 0)) * np.ones(lmax + 1, dtype=float))
-                    legb = qeleg(sin, sout + s_qe, 0.5 * (1. + (sin == 0)) * 2 * cl_sosi)
-                    qes.append(qe(lega, legb, cL_out))
-        if len(qe_key) == 1 or qe_key[1:] in ['tt', '_p']:
-            return qe_simplify(qes)
-        elif qe_key[1:] in ['te', 'et', 'tb', 'bt', 'ee', 'eb', 'be', 'bb']:
-            return qe_simplify(qe_proj(qes, qe_key[1], qe_key[2]))
-        elif qe_key[1:] in ['_te', '_tb', '_eb']:
-            return qe_simplify(qe_proj(qes, qe_key[2], qe_key[3])
-                               + qe_proj(qes, qe_key[3], qe_key[2]))
-        else:
-            assert 0, 'qe key %s not recognized' % qe_key
+        src, spins, blocks = _parse_key(qe_key)
+        delta = np.ones(lmax + 1, dtype=float)
+        terms = []
+        # One term per ordered pair of signed leg spins (sa, sb): the first leg passes
+        # the spin-sa filtered field through unweighted (a delta leg), the second
+        # carries the (-r source-spin component of the) response of the spin-(-sa, sb)
+        # covariance block to the source.
+        # Real spin fields are summed over both signed components, so every non-zero
+        # spin contributes with half weight (see _conjugate_pair_weight).
+        for sa in spins:
+            for sb in spins:
+                s_src, _pr, cl_ab, cL = get_covresp(src, -sa, sb, cls_weight, lmax2,
+                                                    transf=transf)
+                if not np.any(cl_ab):
+                    continue
+                lega = qeleg(sa, sa, _conjugate_pair_weight(sa) * delta)
+                legb = qeleg(sb, -sa + s_src, 2. * _conjugate_pair_weight(sb) * cl_ab)
+                terms.append(qe(lega, legb, cL))
+        if blocks is None:
+            return qe_simplify(terms)
+        return qe_simplify([t for a, b in blocks for t in qe_proj(terms, a, b)])
     elif qe_key in ['ntt', 'dtt']:
         # profiled spin-0 source estimators (see _source_profile)
         u = _source_profile(qe_key, lmax, transf, profile)
