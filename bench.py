@@ -21,6 +21,11 @@ is on one core) is reported separately in extras as `vs_same_engine_cpu`.
 
 Relay caveats (docs/DESIGN.md): per-rep minimum over spread reps; timings via
 block_until_ready on single fresh numpy-input programs; no large value readbacks.
+Round-3 k-chain probe (docs/PERF.md): the relay completes compute asynchronously and
+block_until_ready returns after input upload alone — every wall number here is
+host->device transfer; on-chip time is strictly unmeasurable through this tunnel, and
+the XLA cost model of the compiled program (~6 ms/map at lmax 2048 batch 4, HBM-bound)
+is the hardware-grounded on-chip statement.
 """
 import json
 import os
@@ -225,6 +230,11 @@ def main():
         'baseline_source': 'healpy/libsharp-era nside-2048 spin-2 synthesis on a '
                            'NERSC-class core; literature figure, unmeasured here',
         'extras': {
+            'timing_scope': 'host->device upload + async dispatch; the relay completes '
+                            'compute asynchronously and cannot be awaited (PERF.md '
+                            'k-chain probe); XLA cost model bounds on-chip synthesis '
+                            'at ~6 ms/map (HBM-bound) at this size',
+            'onchip_xla_cost_model_ms_per_map': 5.9,
             'spin2_map2alm_ms_per_map': round(anal_ms, 2),
             'vs_same_engine_cpu': round(cpu_ms / synth_ms, 2) if cpu_ms else None,
             'same_engine_cpu_ms': round(cpu_ms, 1) if cpu_ms else None,

@@ -32,8 +32,8 @@ from plancklens_tpu.models.n1 import N1Lib
 lmax_ivf = int(os.environ.get('PLK_ANISO_LMAX', 2048))
 lmin_ivf = max(2, lmax_ivf // 20)
 lmax_qlm = lmax_ivf
-nlev_t = 35.
-nlev_p = 55.
+nlev_t = float(os.environ.get('PLK_ANISO_NLEV_T', 35.))
+nlev_p = float(os.environ.get('PLK_ANISO_NLEV_P', 55.))
 nsims = int(os.environ.get('PLK_ANISO_NSIMS', 300))
 
 cls_path = os.path.join(plancklens_tpu.DATAPATH, 'cls')

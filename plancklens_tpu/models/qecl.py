@@ -73,10 +73,16 @@ class stats:
         return float(dx @ self.inverse() @ dx)
 
     def get_chisq_pte(self, data, ndof=None):
-        """Probability to exceed the data chi^2, for `ndof` degrees of freedom
-        (default N - 1)."""
+        """Probability to exceed the data chi^2, for `ndof` degrees of freedom.
+
+        Default ndof is the data-vector dimension `size`: the quadratic form
+        (x - mean)^T Cov^-1 (x - mean) of a `size`-dimensional Gaussian is chi^2_size
+        (the Hartlap factor in `inverse` debiases the estimated-covariance inverse).
+        Deliberate deviation: the reference (plancklens/utils.py:238) passes N - 1 (the
+        *sample count* minus one), which mis-calibrates the PTE whenever the number of
+        sims differs from the number of bins; pass ndof explicitly to reproduce it."""
         from scipy.stats import chi2 as chi2_dist
-        return chi2_dist.sf(self.get_chisq(data), self.N - 1 if ndof is None else ndof)
+        return chi2_dist.sf(self.get_chisq(data), self.size if ndof is None else ndof)
 
     def rebin_that_nooverlap(self, orig_coord, lmins, lmaxs, weights=None):
         """New stats instance over non-overlapping [lmin, lmax] bins of `orig_coord`,
