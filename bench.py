@@ -24,7 +24,7 @@ block_until_ready on single fresh numpy-input programs; no large value readbacks
 Round-3 k-chain probe (docs/PERF.md): the relay completes compute asynchronously and
 block_until_ready returns after input upload alone — every wall number here is
 host->device transfer; on-chip time is strictly unmeasurable through this tunnel, and
-the XLA cost model of the compiled program (~6 ms/map at lmax 2048 batch 4, HBM-bound)
+the XLA cost model of the compiled program (~5 ms/map at lmax 2048 batch 4, HBM-bound)
 is the hardware-grounded on-chip statement.
 """
 import json
@@ -206,7 +206,7 @@ def main():
     synth_ms, anal_ms = _bench_sht(jax)
     qe_per_sec, qe_sec = _bench_qe()
     periter_192 = _tpu_periter_ms(192)
-    periter_512 = _tpu_periter_ms(512) if CINV512 else None
+    periter_512 = _tpu_periter_ms(512)   # cheap (SHT-only); iters may be recorded
     periter_1024 = _tpu_periter_ms(1024)
     it192_f32, rel192_f32 = _cinv_iters(192, x64=False)
     it192_f64, rel192_f64 = _cinv_iters(192, x64=True)
@@ -215,8 +215,8 @@ def main():
 
     # same-scale composites only
     cinv192_sec = periter_192 * it192_f32 / 1e3 if it192_f32 else None
-    cinv512_sec = periter_512 * it512_f32 / 1e3 \
-        if (periter_512 and it512_f32) else None
+    cinv512_sec = periter_512 * (it512_f32 if it512_f32 else 432) / 1e3 \
+        if periter_512 else None
     sims_per_hour = round(3600. / (cinv192_sec + qe_sec), 1) if cinv192_sec else None
 
     out = {
@@ -233,8 +233,8 @@ def main():
             'timing_scope': 'host->device upload + async dispatch; the relay completes '
                             'compute asynchronously and cannot be awaited (PERF.md '
                             'k-chain probe); XLA cost model bounds on-chip synthesis '
-                            'at ~6 ms/map (HBM-bound) at this size',
-            'onchip_xla_cost_model_ms_per_map': 5.9,
+                            'at ~5 ms/map (HBM-bound) at this size',
+            'onchip_xla_cost_model_ms_per_map': 5.1,
             'spin2_map2alm_ms_per_map': round(anal_ms, 2),
             'vs_same_engine_cpu': round(cpu_ms / synth_ms, 2) if cpu_ms else None,
             'same_engine_cpu_ms': round(cpu_ms, 1) if cpu_ms else None,
@@ -244,8 +244,11 @@ def main():
             'cinv_iters_to_1e-5_lmax192_masked': {'f32': it192_f32, 'f64': it192_f64,
                                                   'f32_final_rel': rel192_f32,
                                                   'f64_final_rel': rel192_f64},
-            'cinv_iters_to_1e-5_lmax512_masked_f32': it512_f32,
-            'cinv_lmax512_final_rel_f32': rel512_f32,
+            'cinv_iters_to_1e-5_lmax512_masked_f32': it512_f32 if it512_f32 else 432,
+            'cinv_lmax512_f32_source': 'measured live' if it512_f32 else
+            'recorded: one-off solve 2026-08-17 (docs/PERF.md), 432 iters to 9.8e-6 '
+            'with the analytic dense-64 block; PLK_BENCH_CINV512=1 re-measures',
+            'cinv_lmax512_final_rel_f32': rel512_f32 if it512_f32 else 9.79e-6,
             'cinv_tpu_ms_per_iter': {'lmax192': round(periter_192, 2),
                                      'lmax512': round(periter_512, 2)
                                      if periter_512 else None,

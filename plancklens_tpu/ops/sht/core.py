@@ -132,10 +132,16 @@ def _legendre_scan(mode, S, C_or_Q, alpha, beta, gamma, l0, seed_v, seed_k, x,
         fac = jnp.where(cond, down, jnp.ones_like(d_next))
         return d_new * fac, d_next * fac, k + cond.astype(jnp.int32)
 
-    # chunk the l loop: the recursion state stays register/VMEM-resident across CHUNK
-    # steps and the large (batch, nrings, m) accumulator is read/written once per chunk
-    # instead of once per l — the accumulator's HBM traffic dominates otherwise
-    CHUNK = int(__import__('os').environ.get('PLK_SHT_CHUNK', 8))  # perf knob
+    # l-loop chunking (PLK_SHT_CHUNK): CHUNK l-steps are unrolled inside each scan step.
+    # Default 1: both the XLA TPU cost model and measured CPU wall time degrade
+    # monotonically with chunk size (lmax-512 spin-2 synthesis: 2.0 s at CHUNK=1 vs
+    # 22.8 s at the former default 8 on one CPU core; cost-model flops/bytes at lmax
+    # 2048: 3.72e10/1.66e10 at 1 vs 4.18e10/1.95e10 at 8 — docs/PERF.md) — the compiler
+    # fuses the single-l body into one streaming bundle, while unrolled chunks
+    # materialise per-j intermediates. Chunking stays available for the MXU accumulate
+    # path, whose per-chunk GEMM contracts the chunk's l-dimension (use CHUNK >= 8
+    # with PLK_SHT_MXU=1).
+    CHUNK = int(__import__('os').environ.get('PLK_SHT_CHUNK', 1))  # perf knob
     # PLK_SHT_MXU=1: gather the chunk's d-values into an (l, rings, m) stack and do the
     # accumulate as ONE einsum contracting l — a batched-(over m) (batch x l)@(l x rings)
     # GEMM, i.e. MXU-shaped on TPU (BLAS-shaped on CPU) instead of CHUNK sequential

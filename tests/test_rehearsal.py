@@ -34,6 +34,9 @@ all bins coherently by ~1 sigma).
 The point-source trispectrum correction is exercised in test_bandpowers.py; it is a
 TT-channel 4-point and is identically zero for the pol-only estimator, so it is not
 part of this chain.
+
+Runtime: ~60 min cold on one CPU core (the cinv solves of 17 sims dominate). Set
+PLK_CACHE_DIR to persist/reuse the products — a warm re-run takes ~20 s.
 """
 import importlib.util
 import os
