@@ -108,6 +108,29 @@ def _bench_qe():
     return 1. / dt, dt
 
 
+def _cost_model_ms_per_map():
+    """XLA's own cost analysis of the compiled spin-2 synthesis: HBM-bound time at the
+    v5e's ~819 GB/s (docs/PERF.md round-3 section). The only on-chip statement available
+    — the relay completes compute asynchronously and cannot be awaited."""
+    try:
+        import jax
+        import jax.numpy as jnp
+        from plancklens_tpu.ops.sht import SHT
+        from plancklens_tpu.utils import alm as ualm
+        sht = SHT(LMAX, dtype=np.float32)
+        glm = jnp.zeros((BATCH, ualm.getsize(LMAX)), dtype=np.complex64)
+        ca = jax.jit(lambda g: sht.alm2map_spin((g, jnp.zeros_like(g)), 2)) \
+            .lower(glm).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        byt = ca.get('bytes accessed', 0.)
+        fl = ca.get('flops', 0.)
+        return (round(max(byt / 819e9, fl / 2e12) / BATCH * 1e3, 2),
+                round(fl, -7), round(byt, -7))
+    except Exception:
+        return None, None, None
+
+
 def _tpu_periter_ms(lmax):
     """TPU cost of one CG iteration (spin-0 synthesis + analysis) at `lmax`."""
     from plancklens_tpu.ops.sht import SHT, gl_geometry
@@ -203,6 +226,7 @@ def _cpu_spin2_ms():
 
 def main():
     import jax
+    cm_ms, cm_flops, cm_bytes = _cost_model_ms_per_map()
     synth_ms, anal_ms = _bench_sht(jax)
     qe_per_sec, qe_sec = _bench_qe()
     periter_192 = _tpu_periter_ms(192)
@@ -234,7 +258,9 @@ def main():
                             'compute asynchronously and cannot be awaited (PERF.md '
                             'k-chain probe); XLA cost model bounds on-chip synthesis '
                             'at ~5 ms/map (HBM-bound) at this size',
-            'onchip_xla_cost_model_ms_per_map': 5.1,
+            'onchip_xla_cost_model_ms_per_map': cm_ms,
+            'onchip_xla_cost_model_flops': cm_flops,
+            'onchip_xla_cost_model_bytes': cm_bytes,
             'spin2_map2alm_ms_per_map': round(anal_ms, 2),
             'vs_same_engine_cpu': round(cpu_ms / synth_ms, 2) if cpu_ms else None,
             'same_engine_cpu_ms': round(cpu_ms, 1) if cpu_ms else None,

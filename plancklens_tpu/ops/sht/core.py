@@ -301,7 +301,7 @@ def _legendre_pair_ns(mode, S, single, nrings, Cp_or_Qp, Cm_or_Qm, sgn_m,
         fac = jnp.where(cond, down, jnp.ones_like(d_next))
         return d_new * fac, d_next * fac, k + cond.astype(jnp.int32)
 
-    CHUNK = int(__import__('os').environ.get('PLK_SHT_CHUNK', 8))
+    CHUNK = int(__import__('os').environ.get('PLK_SHT_CHUNK', 1))  # see _legendre_scan
     npad = (-lmaxp1) % CHUNK
     nchunks = (lmaxp1 + npad) // CHUNK
 
