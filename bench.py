@@ -272,8 +272,9 @@ def main():
                                                   'f64_final_rel': rel192_f64},
             'cinv_iters_to_1e-5_lmax512_masked_f32': it512_f32 if it512_f32 else 432,
             'cinv_lmax512_f32_source': 'measured live' if it512_f32 else
-            'recorded: one-off solve 2026-08-17 (docs/PERF.md), 432 iters to 9.8e-6 '
-            'with the analytic dense-64 block; PLK_BENCH_CINV512=1 re-measures',
+            'recorded: one-off solves 2026-08-17 (docs/PERF.md), analytic dense-64: '
+            'f32 432 / f64 427 iters; diag wins at this scale: f32 246 / f64 263; '
+            'PLK_BENCH_CINV512=1 re-measures',
             'cinv_lmax512_final_rel_f32': rel512_f32 if it512_f32 else 9.79e-6,
             'cinv_tpu_ms_per_iter': {'lmax192': round(periter_192, 2),
                                      'lmax512': round(periter_512, 2)
