@@ -27,7 +27,8 @@ def pytest_addoption(parser):
 def pytest_configure(config):
     config.addinivalue_line(
         'markers', 'slow: heavy end-to-end tests (several minutes); run with --runslow '
-                   'or PLK_SLOW=1. The default tier targets < 5 min on one CPU core.')
+                   'or PLK_SLOW=1. Measured on one CPU core: default tier ~6 min, '
+                   'full suite ~18 min (2026-08-17).')
 
 
 def pytest_collection_modifyitems(config, items):
