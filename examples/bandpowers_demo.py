@@ -12,6 +12,12 @@ At the shrunk size the band-powers are reconstruction-noise dominated and very n
 (lmax 32, 5 sims); the RDN0 == MCN0 == analytic-N0 consistency of the debiasers is
 tested at meaningful size in tests/test_bandpowers.py.
 """
+
+# runnable from a source checkout without installation
+import os as _os, sys as _sys
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO not in _sys.path:
+    _sys.path.insert(0, _REPO)
 import os
 import sys
 import time

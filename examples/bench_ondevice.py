@@ -14,6 +14,12 @@ quotable number (bench.py) is host-transfer + dispatch, a strict UPPER bound on 
 any on-chip caller would pay, and on-device throughput is strictly better. Numerics are
 validated on the CPU backend (same code, f64).
 """
+
+# runnable from a source checkout without installation
+import os as _os, sys as _sys
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO not in _sys.path:
+    _sys.path.insert(0, _REPO)
 import os
 import sys
 import time

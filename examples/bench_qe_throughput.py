@@ -7,6 +7,12 @@ way available: each constituent jitted op is timed alone, fresh, min-over-reps, 
 step cost is the sum. On production TPU (no relay) the whole step jits end-to-end and
 XLA fuses across ops, so the sum is an upper bound.
 """
+
+# runnable from a source checkout without installation
+import os as _os, sys as _sys
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO not in _sys.path:
+    _sys.path.insert(0, _REPO)
 import os
 import sys
 import time

@@ -8,6 +8,12 @@ track C_L^pp, and the auto-spectrum should sit at C_L^pp + N0.
 
 Run (CPU, a few minutes):   python examples/lensingrec_quickstart.py
 """
+
+# runnable from a source checkout without installation
+import os as _os, sys as _sys
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO not in _sys.path:
+    _sys.path.insert(0, _REPO)
 import os
 import numpy as np
 

@@ -15,6 +15,11 @@ import os
 import sys
 import time
 
+# runnable from a source checkout without installation (parfiles import plancklens_tpu)
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 import numpy as np
 
 
