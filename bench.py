@@ -276,6 +276,7 @@ def main():
             'f32 432 / f64 427 iters; diag wins at this scale: f32 246 / f64 263; '
             'PLK_BENCH_CINV512=1 re-measures',
             'cinv_lmax512_final_rel_f32': rel512_f32 if it512_f32 else 9.79e-6,
+            'cinv_iters_to_1e-5_lmax1024_masked_f32_diag_recorded': 160,
             'cinv_tpu_ms_per_iter': {'lmax192': round(periter_192, 2),
                                      'lmax512': round(periter_512, 2)
                                      if periter_512 else None,
