@@ -35,7 +35,7 @@ The point-source trispectrum correction is exercised in test_bandpowers.py; it i
 TT-channel 4-point and is identically zero for the pol-only estimator, so it is not
 part of this chain.
 
-Runtime: ~60 min cold on one CPU core (the cinv solves of 17 sims dominate). Set
+Runtime: ~8 min cold on one CPU core (the cinv solves of 17 sims dominate). Set
 PLK_CACHE_DIR to persist/reuse the products — a warm re-run takes ~20 s.
 """
 import importlib.util
