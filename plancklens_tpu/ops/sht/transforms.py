@@ -123,6 +123,38 @@ class SHT:
         return jax.lax.with_sharding_constraint(
             x, NamedSharding(self.shard['mesh'], self.shard[stage]))
 
+    def _ring_local(self):
+        """True when the FFT phase should run as an explicitly ring-local shard_map.
+
+        Under mesh sharding the longitude FFTs are per-ring independent; running them
+        inside `jax.shard_map` pins each device to whole local rings, which both states
+        the design (ring-local FFTs, no mid-phase resharding) and sidesteps XLA-CPU's
+        fft thunk rejecting the non-major layouts the global-view partitioner can pick
+        for fused programs. Requires the ring count to divide over the 'm' axis."""
+        if self.shard is None:
+            return False
+        return self.geom.nrings % self.shard['mesh'].shape['m'] == 0
+
+    def _fft_to_rings(self, Fp, Fm):
+        """_to_rings, ring-local per device when mesh-sharded (see _ring_local)."""
+        if not self._ring_local():
+            return _to_rings(Fp, Fm, self.geom.nphi, self.geom.phi0)
+        fn = jax.shard_map(
+            lambda a, b: _to_rings(a, b, self.geom.nphi, self.geom.phi0),
+            mesh=self.shard['mesh'], in_specs=(self.shard['theta_r'],) * 2,
+            out_specs=self.shard['map'])
+        return fn(Fp, Fm)
+
+    def _fft_from_rings(self, mc):
+        """_from_rings, ring-local per device when mesh-sharded (see _ring_local)."""
+        if not self._ring_local():
+            return _from_rings(mc, self.mmax, self.geom.phi0)
+        fn = jax.shard_map(
+            lambda a: _from_rings(a, self.mmax, self.geom.phi0),
+            mesh=self.shard['mesh'], in_specs=self.shard['map'],
+            out_specs=(self.shard['theta_r'],) * 2)
+        return fn(mc)
+
     def _synth_pair(self, A, Abar, spin):
         """F+ and F- theta-functions for all m >= 0 (see module docstring for math).
 
@@ -146,7 +178,7 @@ class SHT:
     def _anal_pair(self, maps_c, spin):
         """A = _sa_lm and B = -(g - ic)_lm grids from complex ring maps."""
         lmax, mmax = self.lmax, self.mmax
-        Gp, Gm = _from_rings(self._sc(maps_c, 'map'), mmax, self.geom.phi0)
+        Gp, Gm = self._fft_from_rings(self._sc(maps_c, 'map'))
         # FFT phase ran ring-local; re-shard the (rings, m) grids to m columns (one
         # all-to-all) so the Legendre analysis partitions over m
         Gp = self._sc(self._sc(Gp, 'theta_r'), 'theta_m')
@@ -175,7 +207,7 @@ class SHT:
                                     dtype=self.dtype, engine=self.engine)
         Fp = self._sc(self._sc(Fp, 'theta_m'), 'theta_r')
         Fm = jnp.conj(Fp)
-        f = _to_rings(Fp, Fm, self.geom.nphi, self.geom.phi0).real
+        f = self._fft_to_rings(Fp, Fm).real
         f = self._sc(f, 'map')
         return f.reshape(batch_shape + f.shape[-2:])
 
@@ -187,7 +219,7 @@ class SHT:
         m = jnp.asarray(m)
         batch_shape = m.shape[:-2]
         mc = m.reshape((-1,) + m.shape[-2:]).astype(self.cdtype)
-        Gp, _ = _from_rings(self._sc(mc, 'map'), self.mmax, self.geom.phi0)
+        Gp, _ = self._fft_from_rings(self._sc(mc, 'map'))
         Gp = self._sc(self._sc(Gp, 'theta_r'), 'theta_m')
         w = jnp.asarray(self.geom.weight.astype(self.dtype))[:, None]
         A, _ = legendre_anal_pair(Gp * w, None, 0, self.geom.theta, self.lmax,
@@ -211,7 +243,7 @@ class SHT:
         A = -(G + 1j * C)
         Abar = -(G - 1j * C)
         Fp, Fm = self._synth_pair(A, Abar, spin)
-        f = self._sc(_to_rings(Fp, Fm, self.geom.nphi, self.geom.phi0), 'map')
+        f = self._sc(self._fft_to_rings(Fp, Fm), 'map')
         f = f.reshape(batch_shape + f.shape[-2:])
         return f.real, f.imag
 
