@@ -1,31 +1,34 @@
 #!/usr/bin/env python
 """Benchmark driver: ONE JSON line with the headline metric + all four BASELINE.json
-metrics on the real TPU.
+metrics (spin-2 SHT ms @ lmax 2048; cinv CG sec to 1e-5; QE alms/sec; sims/hour).
 
-Metrics (BASELINE.json "metric"):
-  1. spin-2 SHT at lmax 2048: synthesis AND analysis, ms per map (batch amortised)
-  2. masked cinv CG: iterations to rel. resid 1e-5 measured by actual solves (f32 and
-     f64 side by side, same system, analytic dense-64 preconditioner) at lmax 192
-     (lmax 512 recorded once in docs/PERF.md; PLK_BENCH_CINV512=1 re-measures),
-     x TPU per-iteration cost measured at the SAME lmax (no cross-scale composites)
-  3. QE throughput: batched 'ptt' estimates, alms/sec at lmax 2048 (sum of separately
-     timed stage programs — the relay rejects the fused program; flagged in the JSON)
-  4. sims/hour: 1 sim = 1 masked lmax-192 filtering solve + 1 lmax-2048 ptt QE
-     (heterogeneous unit by construction; both factors measured, labelled)
+Budget discipline (the round-3 bench timed out by construction; this one cannot):
+  - a global deadline (PLK_BENCH_DEADLINE, default 480 s) is checked before every arm,
+    with per-arm cost estimates — arms that do not fit are skipped and labelled;
+  - the JSON line is emitted incrementally: after every completed arm the FULL current
+    line is printed (flushed), so a kill at any point leaves the last printed line as a
+    parseable partial — the final print is the complete one;
+  - live CPU solves are OPT-IN (PLK_BENCH_FULL=1, each subprocess capped at 300 s);
+    the default uses recorded iteration counts, which are precision/scale facts about
+    the preconditioned system (docs/PERF.md), composed with live TPU per-iteration cost
+    at the SAME lmax.
+
+Metric sources:
+  1. spin-2 SHT: wall (transfer-bound, see below) + XLA cost model (on-chip statement)
+  2. cinv CG: recorded iterations x live TPU per-iteration wall; on-chip per-iteration
+     from the cost model of one fwd_op application at lmax 2048
+  3. QE: sum of separately timed stage programs (the relay rejects the fused program
+     for execution) + cost model of the FUSED ptt step at lmax 2048 (compile-only)
+  4. sims/hour: composed per 1-3, both transfer-bound and on-chip projections
 
 Baseline honesty: the headline `vs_baseline` is the ratio to the healpy/libsharp-era
 literature figure (~2000 ms/map at nside 2048 on a NERSC-class core) — the figure a
-reference user would actually experience; it is labelled as literature, unmeasured here.
-The same-engine single-core CPU denominator (which mostly measures how slow a JAX scan
-is on one core) is reported separately in extras as `vs_same_engine_cpu`.
+reference user would actually experience; labelled as literature, unmeasured here.
 
-Relay caveats (docs/DESIGN.md): per-rep minimum over spread reps; timings via
-block_until_ready on single fresh numpy-input programs; no large value readbacks.
-Round-3 k-chain probe (docs/PERF.md): the relay completes compute asynchronously and
-block_until_ready returns after input upload alone — every wall number here is
-host->device transfer; on-chip time is strictly unmeasurable through this tunnel, and
-the XLA cost model of the compiled program (~5 ms/map at lmax 2048 batch 4, HBM-bound)
-is the hardware-grounded on-chip statement.
+Relay caveats (docs/DESIGN.md, docs/PERF.md round-3 k-chain probe): the relay completes
+compute asynchronously and block_until_ready returns after input upload alone — every
+wall number here is host->device transfer; the XLA cost model of the compiled program is
+the hardware-grounded on-chip statement.
 """
 import json
 import os
@@ -37,119 +40,273 @@ import numpy as np
 
 LMAX = 2048
 BATCH = 4
-CPU_PROBE = os.environ.get('PLK_BENCH_CPU', '1') == '1'
-# the lmax-512 CPU solve takes ~0.5-1h on this starved core: measured once and
-# recorded in docs/PERF.md; opt back in with PLK_BENCH_CINV512=1
-CINV512 = os.environ.get('PLK_BENCH_CINV512', '0') == '1'
+T0 = time.time()
+DEADLINE = float(os.environ.get('PLK_BENCH_DEADLINE', '480'))
+FULL = os.environ.get('PLK_BENCH_FULL', '0') == '1'
+SUBPROC_CAP = 300  # hard cap on every subprocess, seconds
+
+# Recorded iteration counts (docs/PERF.md, measured 2026-08-17 by actual solves of the
+# bench system: galactic cut |cos th|>0.2, 35 uK-arcmin, GL grid, PCG to rel resid 1e-5,
+# analytic dense-64 + diag split at 192; diag at 512/1024 where it wins):
+RECORDED_ITERS = {
+    'lmax192_dense64': {'f32': 589, 'f64': 572},
+    'lmax512_diag': {'f32': 246, 'f64': 263},
+    'lmax1024_diag': {'f32': 160},
+}
+
+HBM_GBPS = 819e9   # v5e HBM bandwidth for the cost-model bound
+PEAK_F32 = 2e12    # VPU-class f32 throughput bound
 
 
-def _min_time(fn, nit=10, pause_every=4):
-    best = np.inf
-    for i in range(nit):
-        t0 = time.time()
-        fn()
-        best = min(best, time.time() - t0)
-        if i % pause_every == pause_every - 1:
-            time.sleep(0.5)
-    return best
+def left():
+    return DEADLINE - (time.time() - T0)
 
 
-def _bench_sht(jax_mod):
-    from plancklens_tpu.ops.sht import SHT
-    from plancklens_tpu.utils import alm as ualm
-    sht = SHT(LMAX, dtype=np.float32)
-    rng = np.random.RandomState(0)
-    sz = ualm.getsize(LMAX)
-    glm = (rng.standard_normal((BATCH, sz)) + 1j * rng.standard_normal((BATCH, sz))) \
-        .astype(np.complex64)
-    clm = np.zeros_like(glm)
-    q, u = sht.alm2map_spin((glm, clm), 2)   # compile + warmup
-    q.block_until_ready()
-    synth_ms = _min_time(lambda: sht.alm2map_spin((glm, clm), 2)[0].block_until_ready(),
-                         nit=12) / BATCH * 1e3
-    q_np = np.asarray(rng.standard_normal(q.shape), dtype=np.float32)
-    u_np = np.asarray(rng.standard_normal(q.shape), dtype=np.float32)
-    e, b = sht.map2alm_spin((q_np, u_np), 2)
-    e.block_until_ready()
-    anal_ms = _min_time(lambda: sht.map2alm_spin((q_np, u_np), 2)[0].block_until_ready(),
-                        nit=12) / BATCH * 1e3
-    return synth_ms, anal_ms
+class Bench:
+    def __init__(self):
+        self.x = {}        # extras
+        self.synth_ms = None
+        self.skipped = []
+        self._sht2048 = None
+        self._sht3072 = None
 
+    # ------------------------------------------------------------------ helpers
+    def sht2048(self):
+        if self._sht2048 is None:
+            from plancklens_tpu.ops.sht import SHT
+            self._sht2048 = SHT(LMAX, dtype=np.float32)
+        return self._sht2048
 
-def _bench_qe():
-    """'ptt' QE cost as the sum of its individually-timed stage programs (the relay
-    rejects the whole step as one jit program and under-reports eagerly-chained
-    timings); the JSON flags this with method: sum_of_stage_timings."""
-    import jax.numpy as jnp
-    from plancklens_tpu.ops.sht import SHT, gl_geometry
-    from plancklens_tpu.utils import alm as ualm
-    geom = gl_geometry((2 * LMAX + LMAX) // 2)
-    sht = SHT(geom, LMAX, dtype=np.float32)
-    rng = np.random.RandomState(2)
-    sz = ualm.getsize(LMAX)
-    tlm = jnp.asarray((rng.standard_normal((BATCH, sz))
-                       + 1j * rng.standard_normal((BATCH, sz))).astype(np.complex64))
-    zl = jnp.zeros_like(tlm)
-    tmap = sht.alm2map(tlm)
-    tmap.block_until_ready()
-    t_synth0 = _min_time(lambda: sht.alm2map(tlm).block_until_ready(), nit=6)
-    g1, c1 = sht.alm2map_spin((tlm, zl), 1)
-    g1.block_until_ready()
-    t_synth1 = _min_time(lambda: sht.alm2map_spin((tlm, zl), 1)[0].block_until_ready(),
-                         nit=6)
-    prod_np = (np.asarray(rng.standard_normal((BATCH, geom.nrings, geom.nphi)),
-                          dtype=np.float32),
-               np.asarray(rng.standard_normal((BATCH, geom.nrings, geom.nphi)),
-                          dtype=np.float32))
-    e, b = sht.map2alm_spin(prod_np, 1)
-    e.block_until_ready()
-    t_anal1 = _min_time(lambda: sht.map2alm_spin(prod_np, 1)[0].block_until_ready(), nit=6)
-    dt = (t_synth0 + t_synth1 + t_anal1) / BATCH
-    return 1. / dt, dt
+    def sht3072(self):
+        if self._sht3072 is None:
+            from plancklens_tpu.ops.sht import SHT, gl_geometry
+            geom = gl_geometry((2 * LMAX + LMAX) // 2)
+            self._sht3072 = SHT(geom, LMAX, dtype=np.float32)
+        return self._sht3072
 
+    @staticmethod
+    def _min_time(fn, nit=3):
+        best = np.inf
+        for i in range(nit):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        return best
 
-def _cost_model_ms_per_map():
-    """XLA's own cost analysis of the compiled spin-2 synthesis: HBM-bound time at the
-    v5e's ~819 GB/s (docs/PERF.md round-3 section). The only on-chip statement available
-    — the relay completes compute asynchronously and cannot be awaited."""
-    try:
+    @staticmethod
+    def _cost(fn, args):
+        """(ms_bound, flops, bytes) from XLA's cost analysis of the compiled program."""
         import jax
-        import jax.numpy as jnp
-        from plancklens_tpu.ops.sht import SHT
-        from plancklens_tpu.utils import alm as ualm
-        sht = SHT(LMAX, dtype=np.float32)
-        glm = jnp.zeros((BATCH, ualm.getsize(LMAX)), dtype=np.complex64)
-        ca = jax.jit(lambda g: sht.alm2map_spin((g, jnp.zeros_like(g)), 2)) \
-            .lower(glm).compile().cost_analysis()
+        ca = jax.jit(fn).lower(*args).compile().cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]
         byt = ca.get('bytes accessed', 0.)
         fl = ca.get('flops', 0.)
-        return (round(max(byt / 819e9, fl / 2e12) / BATCH * 1e3, 2),
+        return (round(max(byt / HBM_GBPS, fl / PEAK_F32) * 1e3, 2),
                 round(fl, -7), round(byt, -7))
-    except Exception:
-        return None, None, None
+
+    def emit(self, final=False):
+        """Print the full JSON line with everything measured so far (flushed)."""
+        qe_sec = self.x.get('qe_ptt_sec_per_est_lmax2048')
+        it192 = (self.x.get('cinv_iters_lmax192_live') or {}).get('f32') \
+            or RECORDED_ITERS['lmax192_dense64']['f32']
+        p192 = self.x.get('cinv_tpu_ms_per_iter', {}).get('lmax192')
+        p1024 = self.x.get('cinv_tpu_ms_per_iter', {}).get('lmax1024')
+        cinv192 = round(p192 * it192 / 1e3, 2) if p192 else None
+        cinv1024 = round(p1024 * RECORDED_ITERS['lmax1024_diag']['f32'] / 1e3, 2) \
+            if p1024 else None
+        self.x['cinv_masked_sec_to_1e-5_lmax192'] = cinv192
+        self.x['cinv_masked_sec_to_1e-5_lmax1024'] = cinv1024
+        if cinv192 and qe_sec:
+            self.x['sims_per_hour_filt192_qe2048'] = round(3600. / (cinv192 + qe_sec), 1)
+        # on-chip projection at production scale (cost-model bounds, lmax 2048):
+        oc_qe = self.x.get('onchip_qe_ptt_step_ms_lmax2048')
+        oc_it = self.x.get('onchip_cinv_ms_per_iter_lmax2048')
+        if oc_qe and oc_it:
+            # iteration count falls with band limit (850@192, 246@512, 160@1024 —
+            # docs/PERF.md); 160 is the conservative production bound at 2048
+            sec = (oc_it * 160 + oc_qe) / 1e3
+            self.x['onchip_sims_per_hour_lmax2048_projected'] = round(3600. / sec, 1)
+            self.x['onchip_projection_note'] = (
+                'XLA cost-model bounds per map: full cinv solve (<=160 iters, count '
+                'measured to FALL with scale) + fused ptt QE, both at lmax 2048; '
+                'the BASELINE north-star (300 sims < 1 h) check')
+        self.x['recorded_iters'] = RECORDED_ITERS
+        self.x['elapsed_s'] = round(time.time() - T0, 1)
+        if self.skipped:
+            self.x['skipped_arms'] = list(self.skipped)
+        self.x['complete'] = bool(final)
+        out = {
+            'metric': 'spin2_alm2map_ms_per_map_lmax2048_batch%d' % BATCH,
+            'value': round(self.synth_ms, 2) if self.synth_ms else None,
+            'unit': 'ms',
+            'vs_baseline': round(2000.0 / self.synth_ms, 2) if self.synth_ms else None,
+            'baseline_ms': 2000.0,
+            'baseline_source': 'healpy/libsharp-era nside-2048 spin-2 synthesis on a '
+                               'NERSC-class core; literature figure, unmeasured here',
+            'extras': self.x,
+        }
+        print(json.dumps(out), flush=True)
+
+    def run_arm(self, name, est_sec, fn):
+        if left() < est_sec:
+            self.skipped.append('%s (needs ~%ds, %ds left)' % (name, est_sec, left()))
+            return
+        try:
+            fn()
+        except Exception as e:  # an arm failure must not kill the bench
+            self.x.setdefault('arm_errors', {})[name] = repr(e)[:300]
+        self.emit()
+
+    # ------------------------------------------------------------------ arms
+    def arm_sht_wall(self):
+        """Headline: spin-2 synthesis + analysis wall at lmax 2048 (transfer-bound)."""
+        from plancklens_tpu.utils import alm as ualm
+        sht = self.sht2048()
+        rng = np.random.RandomState(0)
+        sz = ualm.getsize(LMAX)
+        glm = (rng.standard_normal((BATCH, sz)) + 1j * rng.standard_normal((BATCH, sz))) \
+            .astype(np.complex64)
+        clm = np.zeros_like(glm)
+        q, _ = sht.alm2map_spin((glm, clm), 2)   # compile + warmup
+        q.block_until_ready()
+        self.synth_ms = self._min_time(
+            lambda: sht.alm2map_spin((glm, clm), 2)[0].block_until_ready(),
+            nit=4) / BATCH * 1e3
+        q_np = np.asarray(rng.standard_normal(q.shape), dtype=np.float32)
+        u_np = np.asarray(rng.standard_normal(q.shape), dtype=np.float32)
+        e, _ = sht.map2alm_spin((q_np, u_np), 2)
+        e.block_until_ready()
+        anal_ms = self._min_time(
+            lambda: sht.map2alm_spin((q_np, u_np), 2)[0].block_until_ready(),
+            nit=3) / BATCH * 1e3
+        self.x['spin2_map2alm_ms_per_map'] = round(anal_ms, 2)
+        self.x['timing_scope'] = (
+            'host->device upload + async dispatch; the relay completes compute '
+            'asynchronously and cannot be awaited (docs/PERF.md k-chain probe); the '
+            'onchip_* entries are the XLA cost-model statements')
+
+    def arm_cost_sht(self):
+        """On-chip statement for metric 1: cost model of the compiled spin-2 pair."""
+        import jax.numpy as jnp
+        from plancklens_tpu.utils import alm as ualm
+        sht = self.sht2048()
+        glm = jnp.zeros((BATCH, ualm.getsize(LMAX)), dtype=np.complex64)
+        ms, fl, by = self._cost(
+            lambda g: sht.alm2map_spin((g, jnp.zeros_like(g)), 2), (glm,))
+        self.x['onchip_spin2_synth_ms_per_map'] = round(ms / BATCH, 2)
+        self.x['onchip_spin2_synth_flops'] = fl
+        self.x['onchip_spin2_synth_bytes'] = by
+        m = jnp.zeros((BATCH, sht.geom.nrings, sht.geom.nphi), dtype=np.float32)
+        ms_a, fl_a, by_a = self._cost(lambda q: sht.map2alm_spin((q, q), 2), (m,))
+        self.x['onchip_spin2_anal_ms_per_map'] = round(ms_a / BATCH, 2)
+        self.x['onchip_spin2_anal_bytes'] = by_a
+        self.x['onchip_anal_vs_synth_bytes'] = round(by_a / by, 2) if by else None
+
+    def arm_cost_cinv(self):
+        """On-chip statement for metric 2: cost model of one CG forward application
+        (synthesis -> x ninv -> analysis -> + S^-1 diag) at lmax 2048."""
+        import jax.numpy as jnp
+        from plancklens_tpu.utils import alm as ualm
+        sht = self.sht2048()
+        ninv = np.ones((sht.geom.nrings, sht.geom.nphi), dtype=np.float32)
+        sinv = np.ones(LMAX + 1, dtype=np.float32)
+
+        def fwd(tlm):
+            m = sht.alm2map(tlm) * ninv[None]
+            return sht.map2alm(m) + ualm.almxfl(tlm, LMAX, sinv)
+
+        tlm = jnp.zeros((BATCH, ualm.getsize(LMAX)), dtype=np.complex64)
+        ms, fl, by = self._cost(fwd, (tlm,))
+        self.x['onchip_cinv_ms_per_iter_lmax2048'] = round(ms / BATCH, 2)
+        self.x['onchip_cinv_iter_flops'] = fl
+        self.x['onchip_cinv_iter_bytes'] = by
+
+    def arm_cost_qe(self):
+        """On-chip statement for metric 3: cost model of the FUSED ptt QE step at
+        lmax 2048 (filter -> legs -> product -> spin-1 analysis -> normalisation),
+        compile-only — execution of the fused program is rejected by the relay."""
+        import __graft_entry__ as ge
+        step = ge._build_step(LMAX, LMAX)
+        tlm = np.zeros((BATCH, _alm_size(LMAX)), dtype=np.complex64)
+        ms, fl, by = self._cost(step, (tlm,))
+        self.x['onchip_qe_ptt_step_ms_lmax2048'] = round(ms / BATCH, 2)
+        self.x['onchip_qe_step_flops'] = fl
+        self.x['onchip_qe_step_bytes'] = by
+
+    def arm_periter(self, lmax, est_key):
+        """TPU wall of one CG iteration (spin-0 synthesis + analysis) at `lmax`."""
+        from plancklens_tpu.ops.sht import SHT, gl_geometry
+        from plancklens_tpu.utils import alm as ualm
+        geom = gl_geometry(lmax)
+        sht = SHT(geom, lmax, dtype=np.float32)
+        rng = np.random.RandomState(3)
+        sz = ualm.getsize(lmax)
+        alm = (rng.standard_normal((BATCH, sz)) + 1j * rng.standard_normal((BATCH, sz))) \
+            .astype(np.complex64)
+        m = sht.alm2map(alm)
+        m.block_until_ready()
+        t_synth = self._min_time(lambda: sht.alm2map(alm).block_until_ready(), nit=3)
+        m_np = np.asarray(rng.standard_normal((BATCH, geom.nrings, geom.nphi)),
+                          dtype=np.float32)
+        a2 = sht.map2alm(m_np)
+        a2.block_until_ready()
+        t_anal = self._min_time(lambda: sht.map2alm(m_np).block_until_ready(), nit=3)
+        self.x.setdefault('cinv_tpu_ms_per_iter', {})[est_key] = \
+            round((t_synth + t_anal) / BATCH * 1e3, 2)
+
+    def arm_qe_wall(self):
+        """Metric 3 wall: 'ptt' QE cost as the sum of its individually-timed stage
+        programs (the relay rejects the whole step as one jit program and under-reports
+        eagerly-chained timings)."""
+        import jax.numpy as jnp
+        from plancklens_tpu.utils import alm as ualm
+        sht = self.sht3072()
+        geom = sht.geom
+        rng = np.random.RandomState(2)
+        sz = ualm.getsize(LMAX)
+        tlm = jnp.asarray((rng.standard_normal((BATCH, sz))
+                           + 1j * rng.standard_normal((BATCH, sz))).astype(np.complex64))
+        zl = jnp.zeros_like(tlm)
+        tmap = sht.alm2map(tlm)
+        tmap.block_until_ready()
+        t0 = self._min_time(lambda: sht.alm2map(tlm).block_until_ready(), nit=3)
+        g1, _ = sht.alm2map_spin((tlm, zl), 1)
+        g1.block_until_ready()
+        t1 = self._min_time(lambda: sht.alm2map_spin((tlm, zl), 1)[0].block_until_ready(),
+                            nit=3)
+        prod = (np.asarray(rng.standard_normal((BATCH, geom.nrings, geom.nphi)),
+                           dtype=np.float32),
+                np.asarray(rng.standard_normal((BATCH, geom.nrings, geom.nphi)),
+                           dtype=np.float32))
+        e, _ = sht.map2alm_spin(prod, 1)
+        e.block_until_ready()
+        t2 = self._min_time(lambda: sht.map2alm_spin(prod, 1)[0].block_until_ready(),
+                            nit=3)
+        dt = (t0 + t1 + t2) / BATCH
+        self.x['qe_ptt_sec_per_est_lmax2048'] = round(dt, 3)
+        self.x['qe_ptt_alms_per_sec_lmax2048'] = round(1. / dt, 3)
+        self.x['qe_method'] = 'sum_of_stage_timings (relay rejects the fused program)'
+
+    def arm_cpu_full(self):
+        """PLK_BENCH_FULL=1 only: live CPU cinv solves + same-engine CPU SHT probe,
+        every subprocess capped at SUBPROC_CAP seconds."""
+        it32, rel32 = _cinv_iters_live(192, x64=False)
+        it64, rel64 = _cinv_iters_live(192, x64=True)
+        self.x['cinv_iters_lmax192_live'] = {
+            'f32': it32, 'f64': it64, 'f32_final_rel': rel32, 'f64_final_rel': rel64}
+        cpu_ms = _cpu_spin2_ms()
+        if cpu_ms and self.synth_ms:
+            self.x['same_engine_cpu_ms'] = round(cpu_ms, 1)
+            self.x['vs_same_engine_cpu'] = round(cpu_ms / self.synth_ms, 2)
+            self.x['same_engine_cpu_note'] = (
+                'this engine on one CPU core (measured at lmax 1024, scaled lmax^3): '
+                'mostly measures how slow a JAX scan is on one core')
 
 
-def _tpu_periter_ms(lmax):
-    """TPU cost of one CG iteration (spin-0 synthesis + analysis) at `lmax`."""
-    from plancklens_tpu.ops.sht import SHT, gl_geometry
+def _alm_size(lmax):
     from plancklens_tpu.utils import alm as ualm
-    geom = gl_geometry(lmax)
-    sht = SHT(geom, lmax, dtype=np.float32)
-    rng = np.random.RandomState(3)
-    sz = ualm.getsize(lmax)
-    alm = (rng.standard_normal((BATCH, sz)) + 1j * rng.standard_normal((BATCH, sz))) \
-        .astype(np.complex64)
-    m = sht.alm2map(alm)
-    m.block_until_ready()
-    t_synth = _min_time(lambda: sht.alm2map(alm).block_until_ready(), nit=8)
-    m_np = np.asarray(rng.standard_normal((BATCH, geom.nrings, geom.nphi)),
-                      dtype=np.float32)
-    a2 = sht.map2alm(m_np)
-    a2.block_until_ready()
-    t_anal = _min_time(lambda: sht.map2alm(m_np).block_until_ready(), nit=8)
-    return (t_synth + t_anal) / BATCH * 1e3
+    return ualm.getsize(lmax)
 
 
 _CINV_CODE = (
@@ -178,14 +335,14 @@ _CINV_CODE = (
     % os.path.dirname(os.path.abspath(__file__)))
 
 
-def _cinv_iters(lmax, x64, timeout=2400):
+def _cinv_iters_live(lmax, x64):
     """Iterations to 1e-5 of the masked system, measured by an actual CPU solve."""
     try:
         env = {k: v for k, v in os.environ.items() if k != 'PYTHONPATH'}
         env['MEAS_LMAX'] = str(lmax)
         env['MEAS_X64'] = '1' if x64 else '0'
         out = subprocess.run([sys.executable, '-c', _CINV_CODE], capture_output=True,
-                             text=True, timeout=timeout, env=env)
+                             text=True, timeout=SUBPROC_CAP, env=env)
         iters_s, rel_s = out.stdout.strip().splitlines()[-1].split()
         return int(iters_s), float(rel_s)
     except Exception:
@@ -217,7 +374,7 @@ def _cpu_spin2_ms():
     try:
         env = {k: v for k, v in os.environ.items() if k != 'PYTHONPATH'}
         out = subprocess.run([sys.executable, '-c', code], capture_output=True, text=True,
-                             timeout=900, env=env)
+                             timeout=SUBPROC_CAP, env=env)
         ms_probe = float(out.stdout.strip().splitlines()[-1])
         return ms_probe * (LMAX / probe_lmax) ** 3
     except Exception:
@@ -225,79 +382,27 @@ def _cpu_spin2_ms():
 
 
 def main():
+    b = Bench()
+    b.x['deadline_s'] = DEADLINE
+    b.emit()  # a parseable line exists BEFORE jax/relay startup (which can hang)
     import jax
-    cm_ms, cm_flops, cm_bytes = _cost_model_ms_per_map()
-    synth_ms, anal_ms = _bench_sht(jax)
-    qe_per_sec, qe_sec = _bench_qe()
-    periter_192 = _tpu_periter_ms(192)
-    periter_512 = _tpu_periter_ms(512)   # cheap (SHT-only); iters may be recorded
-    periter_1024 = _tpu_periter_ms(1024)
-    it192_f32, rel192_f32 = _cinv_iters(192, x64=False)
-    it192_f64, rel192_f64 = _cinv_iters(192, x64=True)
-    it512_f32, rel512_f32 = (_cinv_iters(512, x64=False) if CINV512 else (None, None))
-    cpu_ms = _cpu_spin2_ms() if CPU_PROBE else None
-
-    # same-scale composites only
-    cinv192_sec = periter_192 * it192_f32 / 1e3 if it192_f32 else None
-    cinv512_sec = periter_512 * (it512_f32 if it512_f32 else 432) / 1e3 \
-        if periter_512 else None
-    sims_per_hour = round(3600. / (cinv192_sec + qe_sec), 1) if cinv192_sec else None
-
-    out = {
-        'metric': 'spin2_alm2map_ms_per_map_lmax2048_batch%d' % BATCH,
-        'value': round(synth_ms, 2),
-        'unit': 'ms',
-        # headline ratio: vs the healpy/libsharp-era literature figure (what a
-        # reference-pipeline user would see); literature, unmeasured here
-        'vs_baseline': round(2000.0 / synth_ms, 2),
-        'baseline_ms': 2000.0,
-        'baseline_source': 'healpy/libsharp-era nside-2048 spin-2 synthesis on a '
-                           'NERSC-class core; literature figure, unmeasured here',
-        'extras': {
-            'timing_scope': 'host->device upload + async dispatch; the relay completes '
-                            'compute asynchronously and cannot be awaited (PERF.md '
-                            'k-chain probe); XLA cost model bounds on-chip synthesis '
-                            'at ~5 ms/map (HBM-bound) at this size',
-            'onchip_xla_cost_model_ms_per_map': cm_ms,
-            'onchip_xla_cost_model_flops': cm_flops,
-            'onchip_xla_cost_model_bytes': cm_bytes,
-            'spin2_map2alm_ms_per_map': round(anal_ms, 2),
-            'vs_same_engine_cpu': round(cpu_ms / synth_ms, 2) if cpu_ms else None,
-            'same_engine_cpu_ms': round(cpu_ms, 1) if cpu_ms else None,
-            'same_engine_cpu_note': 'this engine on one CPU core (measured at lmax '
-                                    '1024, scaled lmax^3): mostly measures how slow a '
-                                    'JAX scan is on one core',
-            'cinv_iters_to_1e-5_lmax192_masked': {'f32': it192_f32, 'f64': it192_f64,
-                                                  'f32_final_rel': rel192_f32,
-                                                  'f64_final_rel': rel192_f64},
-            'cinv_iters_to_1e-5_lmax512_masked_f32': it512_f32 if it512_f32 else 432,
-            'cinv_lmax512_f32_source': 'measured live' if it512_f32 else
-            'recorded: one-off solves 2026-08-17 (docs/PERF.md), analytic dense-64: '
-            'f32 432 / f64 427 iters; diag wins at this scale: f32 246 / f64 263; '
-            'PLK_BENCH_CINV512=1 re-measures',
-            'cinv_lmax512_final_rel_f32': rel512_f32 if it512_f32 else 9.79e-6,
-            'cinv_iters_to_1e-5_lmax1024_masked_f32_diag_recorded': 160,
-            'cinv_tpu_ms_per_iter': {'lmax192': round(periter_192, 2),
-                                     'lmax512': round(periter_512, 2)
-                                     if periter_512 else None,
-                                     'lmax1024': round(periter_1024, 2)},
-            'cinv_masked_sec_to_1e-5_lmax192': round(cinv192_sec, 2)
-            if cinv192_sec else None,
-            'cinv_masked_sec_to_1e-5_lmax512': round(cinv512_sec, 2)
-            if cinv512_sec else None,
-            'cinv_note': 'iteration counts from actual CPU solves of the same masked '
-                         'system (analytic dense-64 preconditioner), composed only '
-                         'with the TPU per-iteration cost at the SAME lmax',
-            'qe_ptt_sec_per_est_lmax2048': round(qe_sec, 3),
-            'qe_ptt_alms_per_sec_lmax2048': round(qe_per_sec, 3),
-            'qe_method': 'sum_of_stage_timings (relay rejects the fused program)',
-            'sims_per_hour_filt192_qe2048': sims_per_hour,
-            'sims_per_hour_note': 'heterogeneous unit: one lmax-192 masked filtering '
-                                  'solve + one lmax-2048 ptt QE',
-            'device': str(jax.devices()[0]),
-        },
-    }
-    print(json.dumps(out))
+    b.x['device'] = str(jax.devices()[0])
+    b.emit()
+    # (name, estimated worst-case seconds, fn) — relay compiles dominate the estimates
+    arms = [
+        ('sht_wall', 120, b.arm_sht_wall),
+        ('cost_sht', 90, b.arm_cost_sht),
+        ('cost_cinv', 60, b.arm_cost_cinv),
+        ('periter_192', 60, lambda: b.arm_periter(192, 'lmax192')),
+        ('cost_qe_fused', 120, b.arm_cost_qe),
+        ('qe_wall', 150, b.arm_qe_wall),
+        ('periter_1024', 90, lambda: b.arm_periter(1024, 'lmax1024')),
+    ]
+    if FULL:
+        arms.append(('cpu_full', 3 * SUBPROC_CAP, b.arm_cpu_full))
+    for name, est, fn in arms:
+        b.run_arm(name, est, fn)
+    b.emit(final=True)
 
 
 if __name__ == '__main__':

@@ -31,8 +31,9 @@ def _dense_cache_key(tag, lmax_dense, lmax, arrays):
     """Cache key for a persisted dense preconditioner.
 
     Hashes *every* input that shapes the probed operator (all ninv components, the signal
-    cls slice, the transfer function) and uses the clamped dense lmax actually built, so a
-    changed configuration can never silently load a stale matrix."""
+    cls slice, the transfer function, and the template-deprojection stack incl. its count)
+    and uses the clamped dense lmax actually built, so a changed configuration can never
+    silently load a stale matrix."""
     ld = min(lmax_dense, lmax)
     hs = '_'.join(str(clhash(np.atleast_1d(np.asarray(a, dtype=float)).ravel()))[:8]
                   for a in arrays)
@@ -436,8 +437,13 @@ class CinvT:
             self.filt.make_ops(lmax, cl['tt'])
         self._ms = _lm_ms(lmax)
         if lmax_dense > 0:
+            # the template stack (marge flags + extra templates) enters the operator
+            # via the deprojection: it must be part of the key or two configurations
+            # differing only in marginalisation would share a cached dense block
             key = _dense_cache_key('tta', lmax_dense, lmax,
-                                   [self.filt.ninv, self.cl['tt'][:lmax + 1], self.transf])
+                                   [self.filt.ninv, self.cl['tt'][:lmax + 1], self.transf,
+                                    self.filt.templates.ravel(),
+                                    [float(self.filt.templates.shape[0])]])
             ld = min(lmax_dense, lmax)
             # bdl of the rescaled system: beam x 1/rescal (cf. make_ops)
             bdl = self.transf[:lmax + 1] * cli(self.rescal_cl)
@@ -640,7 +646,10 @@ class CinvP:
             key = _dense_cache_key('pp', lmax_dense, lmax,
                                    list(self.filt.ninv) + [self.cl['ee'][:lmax + 1],
                                                            self.cl['bb'][:lmax + 1],
-                                                           self.transf])
+                                                           self.transf,
+                                                           self.filt.templates.ravel(),
+                                                           [float(self.filt.templates
+                                                                  .shape[0])]])
             dense = dense_pre_op_stacked(self.fwd_op, min(lmax_dense, lmax), lmax, 2,
                                          cacher=dense_cacher, cache_key=key)
             self.pre_op = split_pre_op(dense, self.pre_diag, min(lmax_dense, lmax), lmax)
@@ -958,7 +967,11 @@ class CinvTP:
             key = _dense_cache_key(
                 'tp', lmax_dense, lmax,
                 [self.filt.filt_t.ninv] + list(self.filt.filt_p.ninv)
-                + [np.asarray(cls[k])[:lmax + 1] for k in sorted(cls)] + [self.transf])
+                + [np.asarray(cls[k])[:lmax + 1] for k in sorted(cls)] + [self.transf]
+                + [self.filt.filt_t.templates.ravel(),
+                   [float(self.filt.filt_t.templates.shape[0])],
+                   self.filt.filt_p.templates.ravel(),
+                   [float(self.filt.filt_p.templates.shape[0])]])
             dense = dense_pre_op_stacked(self.fwd_op, min(lmax_dense, lmax), lmax, 3,
                                          cacher=dense_cacher, cache_key=key)
             self.pre_op = split_pre_op(dense, self.pre_diag, min(lmax_dense, lmax), lmax)

@@ -48,7 +48,9 @@ def _pcg_loop(fwd_op, pre_op, b, x0, iter_max, eps_min, ms, roundoff=25):
         pAp = dot_alm(p, Ap, ms)
         alpha = (rz / jnp.maximum(pAp, 1e-300)).astype(b.real.dtype)
         x = x + alpha[:, None] * p
-        refresh = (roundoff > 0) & ((it + 1) % roundoff == 0)
+        # roundoff is a static python int: guard the modulo so roundoff=0 (inner IR
+        # solves, which never refresh) does not emit an integer rem-by-zero
+        refresh = jnp.asarray(False) if roundoff <= 0 else ((it + 1) % roundoff == 0)
         # residual replacement only: the conjugate direction is kept (a full restart
         # destroys the Krylov history and measurably slows convergence)
         r = jax.lax.cond(refresh, lambda: b - fwd_op(x),

@@ -400,41 +400,125 @@ def _legendre_pair_ns(mode, S, single, nrings, Cp_or_Qp, Cm_or_Qm, sgn_m,
         Qp_n_parts, Qp_s_parts = split_parts(Qp_n), split_parts(Qp_s)
         Qm_n_parts, Qm_s_parts = split_parts(Qm_n), split_parts(Qm_s)
         nparts = len(Qp_n_parts)
+        batch = Qp_n_parts[0].shape[0]
+        nout = nparts * (1 if single else 2)
 
-        def step_a(carry, xs):
-            lc = xs[0]
-            am, bm, gm = xs[1:4]
-            ap_, bp_, gp_ = xs[4:7]
-            st_m = carry[:3]
-            st_p = carry[3:]
-            emits = []
-            for j in range(CHUNK):
-                sgn_l = jnp.where(lc[j] % 2 == 0, 1., -1.).astype(adtype)
-                dm_eff = (st_m[1] * jnp.exp2((S * st_m[2]).astype(rdtype))).astype(adtype)
-                dp_eff = dm_eff if single else \
-                    (st_p[1] * jnp.exp2((S * st_p[2]).astype(rdtype))).astype(adtype)
-                A_l = tuple(jnp.einsum('brm,rm->bm', Qn, dm_eff)
-                            + sgn_l * jnp.einsum('brm,rm->bm', Qs, dp_eff)
-                            for Qn, Qs in zip(Qp_n_parts, Qp_s_parts))
+        def anal_l_scan(Qpn, Qps, Qmn, Qms, x_r, svm, skm, svp, skp):
+            """Full l-scan restricted to one set of rings; returns the (nout, lmaxp1,
+            batch, m) stacked harmonic rows. Qpn/Qps/Qmn/Qms: tuples of (batch, R, m)
+            parts; x_r (R,); sv/sk (R, m) seed rows for those rings."""
+            xc = x_r.astype(rdtype)[:, None]
+            R = x_r.shape[0]
+
+            def init_st(sv, sk):
+                d_m1 = jnp.zeros((R, mmaxp1), dtype=rdtype)
+                d = jnp.where(l0_m[None, :] == 0, sv, jnp.zeros((R, mmaxp1), rdtype))
+                k = jnp.where(l0_m[None, :] == 0, sk, jnp.zeros((R, mmaxp1), jnp.int32))
+                return d_m1, d, k
+
+            def rec(l, st, al, bl, gl, l0, sv, sk):
+                d_m1, d, k = st
+                d_next = (al[None, :] * xc + bl[None, :]) * d - gl[None, :] * d_m1
+                inject = (l + 1) == l0[None, :]
+                d_new = jnp.where(inject, jnp.zeros_like(d), d)
+                d_next = jnp.where(inject, sv, d_next)
+                k = jnp.where(inject, sk, k)
+                cond = (k < 0) & (jnp.abs(d_next) > thresh)
+                fac = jnp.where(cond, down, jnp.ones_like(d_next))
+                return d_new * fac, d_next * fac, k + cond.astype(jnp.int32)
+
+            def step_a(carry, xs):
+                lc = xs[0]
+                am, bm, gm = xs[1:4]
+                ap_, bp_, gp_ = xs[4:7]
+                st_m = carry[:3]
+                st_p = carry[3:]
+                emits = []
+                for j in range(CHUNK):
+                    sgn_l = jnp.where(lc[j] % 2 == 0, 1., -1.).astype(adtype)
+                    dm_eff = (st_m[1] * jnp.exp2((S * st_m[2]).astype(rdtype))) \
+                        .astype(adtype)
+                    dp_eff = dm_eff if single else \
+                        (st_p[1] * jnp.exp2((S * st_p[2]).astype(rdtype))).astype(adtype)
+                    A_l = tuple(jnp.einsum('brm,rm->bm', Qn, dm_eff)
+                                + sgn_l * jnp.einsum('brm,rm->bm', Qs, dp_eff)
+                                for Qn, Qs in zip(Qpn, Qps))
+                    if single:
+                        emits.append(A_l)
+                    else:
+                        B_l = tuple(jnp.einsum('brm,rm->bm', Qn, dp_eff)
+                                    + sgn_l * jnp.einsum('brm,rm->bm', Qs, dm_eff)
+                                    for Qn, Qs in zip(Qmn, Qms))
+                        emits.append(A_l + B_l)
+                    st_m = rec(lc[j], st_m, am[j], bm[j], gm[j], l0_m, svm, skm)
+                    if not single:
+                        st_p = rec(lc[j], st_p, ap_[j], bp_[j], gp_[j], l0_p, svp, skp)
+                return st_m + st_p, tuple(jnp.stack([e[i] for e in emits])
+                                          for i in range(nout))
+
+            xs = tuple(reshape_chunks(a) for a in (ls,) + tabs_m + tabs_p)
+            st0 = init_st(svm, skm) + (init_st(svp, skp) if not single
+                                       else init_st(svm, skm))
+            _, emits = jax.lax.scan(step_a, st0, xs)
+            return tuple(e.reshape((nchunks * CHUNK,) + e.shape[2:])[:lmaxp1]
+                         for e in emits)
+
+        # Ring-blocked analysis (PLK_SHT_ANAL_BLOCK rings per block, 0 disables): the
+        # per-l contraction above re-streams the full (batch, rings, m) Fourier-mode
+        # array every l step — 2.2x the synthesis HBM traffic at lmax 2048
+        # (docs/PERF.md). An outer scan over ring blocks carries the C accumulator:
+        # inside a block the l-scan touches only that block's (batch, R, m) rows, so
+        # the per-step working set is bounded by the block size and the total traffic
+        # drops to ~(nblocks x C_out) + (Q once) + (nblocks x recursion tables).
+        # Default by backend: small blocks on CPU (the block must fit L2: measured
+        # lmax-512 anal wall 2.05 s unblocked -> 1.47 s at 32), larger on TPU (fewer
+        # accumulator+table passes; roofline at lmax 2048 puts 256 at ~2.6 GB vs the
+        # unblocked 37 GB).
+        blk_env = __import__('os').environ.get('PLK_SHT_ANAL_BLOCK', '')
+        BLK = int(blk_env) if blk_env else \
+            (32 if jax.default_backend() == 'cpu' else 256)
+        if BLK > 0 and nh > BLK:
+            npad_r = (-nh) % BLK
+            nblk = (nh + npad_r) // BLK
+
+            def pad_r(arr, fill=0.):
+                return jnp.pad(arr, ((0, 0), (0, npad_r), (0, 0)),
+                               constant_values=fill)
+
+            def blk(arr):  # (batch, nh+pad, m) -> (nblk, batch, BLK, m)
+                a = arr.reshape(arr.shape[0], nblk, BLK, arr.shape[-1])
+                return jnp.moveaxis(a, 1, 0)
+
+            def blk_rows(arr):  # (nh+pad, m) -> (nblk, BLK, m)
+                return arr.reshape(nblk, BLK, arr.shape[-1])
+
+            # padded rings: zero Q and zero seeds (d stays 0, contributions vanish)
+            x_pad = jnp.pad(x, (0, npad_r), constant_values=1.)
+            sv_m_p = jnp.pad(sv_m, ((0, npad_r), (0, 0)))
+            sk_m_p = jnp.pad(sk_m, ((0, npad_r), (0, 0)))
+            sv_p_p = jnp.pad(sv_p, ((0, npad_r), (0, 0)))
+            sk_p_p = jnp.pad(sk_p, ((0, npad_r), (0, 0)))
+            xs_blocks = (
+                tuple(blk(pad_r(q)) for q in Qp_n_parts),
+                tuple(blk(pad_r(q)) for q in Qp_s_parts),
+                tuple(blk(pad_r(q)) for q in (() if single else Qm_n_parts)),
+                tuple(blk(pad_r(q)) for q in (() if single else Qm_s_parts)),
+                x_pad.reshape(nblk, BLK),
+                blk_rows(sv_m_p), blk_rows(sk_m_p), blk_rows(sv_p_p), blk_rows(sk_p_p))
+
+            def outer(acc, xs_b):
+                qpn, qps, qmn, qms, x_b, svm, skm, svp, skp = xs_b
                 if single:
-                    emits.append(A_l)
-                else:
-                    B_l = tuple(jnp.einsum('brm,rm->bm', Qn, dp_eff)
-                                + sgn_l * jnp.einsum('brm,rm->bm', Qs, dm_eff)
-                                for Qn, Qs in zip(Qm_n_parts, Qm_s_parts))
-                    emits.append(A_l + B_l)
-                st_m = recurse(lc[j], st_m, am[j], bm[j], gm[j], l0_m, sv_m, sk_m)
-                if not single:
-                    st_p = recurse(lc[j], st_p, ap_[j], bp_[j], gp_[j], l0_p, sv_p, sk_p)
-            nout = len(emits[0])
-            return st_m + st_p, tuple(jnp.stack([e[i] for e in emits])
-                                      for i in range(nout))
+                    qmn, qms = qpn, qps
+                part = anal_l_scan(qpn, qps, qmn, qms, x_b, svm, skm, svp, skp)
+                return tuple(a + p for a, p in zip(acc, part)), None
 
-        xs = tuple(reshape_chunks(a) for a in (ls,) + tabs_m + tabs_p)
-        st0 = init_state(l0_m, sv_m, sk_m) + \
-            (init_state(l0_p, sv_p, sk_p) if not single else init_state(l0_m, sv_m, sk_m))
-        _, emits = jax.lax.scan(step_a, st0, xs)
-        flat = tuple(e.reshape((nchunks * CHUNK,) + e.shape[2:])[:lmaxp1] for e in emits)
+            acc0 = tuple(jnp.zeros((lmaxp1, batch, mmaxp1), dtype=Qp_n_parts[0].dtype)
+                         for _ in range(nout))
+            flat, _ = jax.lax.scan(outer, acc0, xs_blocks)
+        else:
+            flat = anal_l_scan(Qp_n_parts, Qp_s_parts, Qm_n_parts, Qm_s_parts,
+                               x, sv_m, sk_m, sv_p, sk_p)
         A = jnp.moveaxis(join_parts(flat[:nparts]), 0, 1)
         if single:
             return A, A
