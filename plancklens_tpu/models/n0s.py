@@ -186,7 +186,15 @@ class DelensingForecast:
 
     def __init__(self, qe_key, nlev_t, nlev_p, beam_fwhm, cls_unl_fid, lmin_ivf,
                  lmax_ivf, cls_unl_dat=None, lmax_qlm=None, datnoise_cls=None,
-                 unlQE=False, rho_sqd_ext=0., filter_E=False):
+                 unlQE=False, rho_sqd_ext=0., filter_E=False, include_n1=False,
+                 n1_lmax=None, n1_kwargs=None):
+        """include_n1: fold the N1 bias into the iteration — the reconstruction noise
+        degrading the delensing efficiency becomes N0 + N1, with N1 evaluated each
+        iteration by the in-house flat-sky integrator (models/n1.N1Lib) against the
+        current residual-lensing spectrum. The reference only offers this through the
+        external `lensitbiases` package (reference: plancklens/nhl.py:296,310-381 —
+        rho^2 uses N0_unbiased + N1_unbiased); here it is self-contained.
+        n1_lmax caps the (splined) N1 evaluation; n1_kwargs feed N1Lib (dL, lps, ...)."""
         assert qe_key in ('p_p', 'p', 'ptt'), qe_key
         self.key = qe_key
         self.lmaxs = _per_field(lmax_ivf)
@@ -227,6 +235,14 @@ class DelensingForecast:
             self._lens(self.unl_true, clpp_to_cldd(self.unl_true['pp']))
         self._sky_true = self._len_true   # previous partially-lensed true sky (state)
         self._n0_grad = None              # previous unbiased gradient N0 (state)
+        self.include_n1 = include_n1
+        if include_n1:
+            assert not filter_E, 'include_n1 with filter_E is not supported'
+        self._n1_lmax = min(n1_lmax if n1_lmax is not None else self.lmax_rec,
+                            self.lmax_rec)
+        self._n1_kwargs = dict(n1_kwargs or {})
+        self._n1_grad = None              # previous unbiased gradient N1 (state)
+        self.last_n1 = None               # (N1_biased, N1_unbiased) of the last step
 
     # ---- building blocks -------------------------------------------------------------
 
@@ -241,7 +257,10 @@ class DelensingForecast:
         if self._n0_grad is None:
             return 1. - self.rho2_ext
         dd_true = clpp_to_cldd(self.unl_true['pp'])
-        dd_noise = self._n0_to_dd * self._n0_grad[:self.lmax_rec + 1]
+        noise = np.copy(self._n0_grad[:self.lmax_rec + 1])
+        if self._n1_grad is not None:   # include_n1: noise degrading the delensing
+            noise += self._n1_grad[:self.lmax_rec + 1]
+        dd_noise = self._n0_to_dd * noise
         keep = (1. - self.rho2_ext) * dd_noise
         den = (1. - self.rho2_ext) * dd_true[:self.lmax_rec + 1] + dd_noise
         resid = np.ones(len(dd_true))
@@ -319,7 +338,31 @@ class DelensingForecast:
         else:
             rg_fid, rc_fid = qresp.get_response(self.key, lmax, 'p', weights, weights,
                                                 wmat, lmax_qlm=self.lmax_rec)[:2]
-        return (ngg, ncc), (rg_fid, rc_fid), (rg_true, rc_true)
+        return (ngg, ncc), (rg_fid, rc_fid), (rg_true, rc_true), (weights, wmat)
+
+    def _n1_raw(self, weights, wmat, pp_resid_true):
+        """Unnormalised N1 of the key against the current residual-lensing spectrum,
+        evaluated by the in-house flat-sky integrator on its sparse L grid and splined
+        (models/n1.py; reference capability: plancklens/nhl.py:369-379 via external
+        lensitbiases). Normalisation by the response^2 happens in step()."""
+        from .n1 import N1Lib
+        lmax = self.lmax_cmb
+        zero = np.zeros(lmax + 1)
+        lib = N1Lib(weights.get('tt', zero)[:lmax + 1],
+                    weights.get('te', zero)[:lmax + 1],
+                    weights.get('ee', zero)[:lmax + 1],
+                    lmaxphi=min(2 * self.lmax_cmb, 2500), **self._n1_kwargs)
+        Lmax = self._n1_lmax
+        if self.key == 'p':   # joint 3x3 filtering: matrix-weighted kernel sum
+            n1 = lib.get_n1_jtp('p', 'p', pp_resid_true, wmat, Lmax)
+        else:
+            ftl = wmat.get('tt', zero)[:lmax + 1]
+            fel = wmat.get('ee', zero)[:lmax + 1]
+            fbl = wmat.get('bb', zero)[:lmax + 1]
+            n1 = lib.get_n1(self.key, 'p', pp_resid_true, ftl, fel, fbl, Lmax)
+        out = np.zeros(self.lmax_rec + 1)
+        out[:Lmax + 1] = n1[:Lmax + 1]
+        return out
 
     # ---- the iteration ---------------------------------------------------------------
 
@@ -329,12 +372,16 @@ class DelensingForecast:
         delensed dicts include the reported 'pp' spectrum."""
         resid = self._residual_fraction()
         sky_fid, sky_true, dd_fid, dd_true = self._delensed_skies(resid)
-        (ngg, ncc), (rg_fid, rc_fid), (rg_true, rc_true) = \
+        (ngg, ncc), (rg_fid, rc_fid), (rg_true, rc_true), (weights, wmat) = \
             self._qe_noise(sky_fid, sky_true)
         self._n0_grad = ngg * cli(rg_true ** 2)
         self._sky_true = sky_true
         sky_fid['pp'] = cldd_to_clpp(dd_fid)
         sky_true['pp'] = cldd_to_clpp(dd_true)
+        if self.include_n1:
+            n1_raw = self._n1_raw(weights, wmat, np.copy(sky_true['pp']))
+            self._n1_grad = n1_raw * cli(rg_true ** 2)
+            self.last_n1 = (n1_raw * cli(rg_fid ** 2), self._n1_grad)
         return (ngg * cli(rg_fid ** 2), self._n0_grad,
                 ncc * cli(rc_fid ** 2), ncc * cli(rc_true ** 2), sky_fid, sky_true)
 
@@ -342,7 +389,7 @@ class DelensingForecast:
 def get_N0_iter(qe_key, nlev_t, nlev_p, beam_fwhm, cls_unl_fid, lmin_ivf, lmax_ivf,
                 itermax, cls_unl_dat=None, lmax_qlm=None, ret_delcls=False,
                 datnoise_cls=None, unlQE=False, rho_sqd_ext=0., filter_E=False,
-                ret_curl=False):
+                ret_curl=False, include_n1=False, n1_lmax=None, n1_kwargs=None):
     """Iterative (MAP-estimator forecast) lensing N0 (reference capability:
     plancklens/n0s.py get_N0_iter); see :class:`DelensingForecast` for the loop design.
 
@@ -358,19 +405,32 @@ def get_N0_iter(qe_key, nlev_t, nlev_p, beam_fwhm, cls_unl_fid, lmin_ivf, lmax_i
             the returned 'pp' follows the reference convention and holds the *resolved*
             deflection spectrum, not the residual.
         ret_curl: also return the curl-mode N0s
+        include_n1: fold N1 into the iterations (self-contained, via models/n1.N1Lib —
+            the reference needs the external lensitbiases package for this); the
+            iterated N1 curves are then appended to the return value
 
     Returns (N0s_biased, N0s_unbiased[, N0s_unbiased_curl, N0s_biased_curl]
-    [, delcls_fid, delcls_true]); N0 arrays have shape (itermax+1, lmax_qlm+1).
+    [, delcls_fid, delcls_true][, N1s_biased, N1s_unbiased]); N0/N1 arrays have shape
+    (itermax+1, lmax_qlm+1).
     """
     fc = DelensingForecast(qe_key, nlev_t, nlev_p, beam_fwhm, cls_unl_fid, lmin_ivf,
                            lmax_ivf, cls_unl_dat=cls_unl_dat, lmax_qlm=lmax_qlm,
                            datnoise_cls=datnoise_cls, unlQE=unlQE,
-                           rho_sqd_ext=rho_sqd_ext, filter_E=filter_E)
-    rows = [fc.step() for _ in range(itermax + 1)]
+                           rho_sqd_ext=rho_sqd_ext, filter_E=filter_E,
+                           include_n1=include_n1, n1_lmax=n1_lmax, n1_kwargs=n1_kwargs)
+    rows = []
+    n1_rows = []
+    for _ in range(itermax + 1):
+        rows.append(fc.step())
+        if include_n1:
+            n1_rows.append(fc.last_n1)
     biased, unbiased, biased_cc, unbiased_cc, del_fid, del_true = map(list, zip(*rows))
     ret = (np.array(biased), np.array(unbiased))
     if ret_curl:
         ret = ret + (np.array(unbiased_cc), np.array(biased_cc))
     if ret_delcls:
         ret = ret + (del_fid, del_true)
+    if include_n1:
+        n1_biased, n1_unbiased = map(list, zip(*n1_rows))
+        ret = ret + (np.array(n1_biased), np.array(n1_unbiased))
     return ret

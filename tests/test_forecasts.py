@@ -123,3 +123,24 @@ def test_patchy_homogeneous_limit():
     # MC correction is O(1) (the lmin cut keeps it from exactly 1); must be finite/stable
     assert np.all(np.abs(np.asarray(MC)[20:100] - 1.) < 0.1)
     assert np.all(np.abs(np.asarray(cMC)[20:100] - 1.) < 0.1)
+
+
+def test_n0_iter_include_n1():
+    """include_n1 folds the self-contained N1 into the iterations (the reference needs
+    external lensitbiases for this, plancklens/nhl.py:369-379): iteration 0 N0 is
+    untouched (N1 only feeds back through the delensing residual), N1 is positive in
+    band, and every later iteration's N0 is >= the N1-free one (delensing degraded by
+    the extra reconstruction noise)."""
+    unl = camb_clfile(os.path.join(plancklens_tpu.DATAPATH, 'cls',
+                                   'FFP10_wdipole_lenspotentialCls.dat'), lmax=400)
+    kw = dict(lmin_ivf=30, lmax_ivf=300, itermax=1, lmax_qlm=250)
+    _, N0_u = n0s.get_N0_iter('p_p', 1.0, 1.4, 2.0, unl, **kw)
+    _, N0_u1, N1_b, N1_u = n0s.get_N0_iter('p_p', 1.0, 1.4, 2.0, unl, include_n1=True,
+                                           n1_lmax=250, **kw)
+    sel = slice(30, 250)
+    assert np.allclose(N0_u1[0], N0_u[0]), 'iteration-0 N0 must not change'
+    assert np.all(N1_u[0][sel] > 0.)
+    assert np.all(N0_u1[1][sel] >= N0_u[1][sel] * (1. - 1e-12))
+    assert np.any(N0_u1[1][sel] > N0_u[1][sel] * (1. + 1e-6)), 'N1 had no effect'
+    # N1 is a perturbation at these noise levels, not a blow-up
+    assert np.median(N1_u[0][sel] / N0_u1[0][sel]) < 0.5
