@@ -39,13 +39,18 @@ from plancklens_tpu.models.qecl import QeClLib
 from plancklens_tpu.models.n1 import N1Lib
 
 # ---------------------------------------------------------------- analysis constants
-lmax_ivf = 2048
-lmin_ivf = 100
-lmax_qlm = 4096
-nside = 2048
-nlev_t = 35.   # uK amin
-nlev_p = 55.
-nsims = 300
+# Defaults are the production Planck 2018 sizes (reference:
+# params/smicadx12_planck2018.py:22-35); PLK_SMICA_* shrink the identical code path
+# for the synthetic-FITS end-to-end test (tests/test_smica_end2end.py), exactly as
+# PLK_ANISO_* does for anisofilt_example.py.
+lmax_ivf = int(os.environ.get('PLK_SMICA_LMAX', 2048))
+lmin_ivf = int(os.environ.get('PLK_SMICA_LMIN',
+                              100 if lmax_ivf >= 2048 else max(2, lmax_ivf // 20)))
+lmax_qlm = int(os.environ.get('PLK_SMICA_LMAX_QLM', 2 * lmax_ivf))
+nside = int(os.environ.get('PLK_SMICA_NSIDE', 2048))
+nlev_t = float(os.environ.get('PLK_SMICA_NLEV_T', 35.))   # uK amin
+nlev_p = float(os.environ.get('PLK_SMICA_NLEV_P', 55.))
+nsims = int(os.environ.get('PLK_SMICA_NSIMS', 300))
 
 DATA = os.environ.get('PLK_PLANCK_DATA', '/data/planck2018')
 cls_path = os.path.join(plancklens_tpu.DATAPATH, 'cls')
@@ -65,13 +70,20 @@ transf = gauss_beam(5., lmax=lmax_ivf) * pixwin(nside, lmax_ivf)
 sims_alm = ExternalAlmLib(os.path.join(DATA, 'smica_dx12'), prefix='sim', ext='fits')
 
 # ------------------------------------------------------------- masked cinv filtering
-# ring grid carrying the masked solve; 3 nside rings resolve the nside=2048 mask
-geom = gl_geometry(lmax_ivf + 512)
+# ring grid carrying the masked solve; the margin over lmax_ivf (512 at production)
+# resolves the nside=2048 mask
+geom = gl_geometry(lmax_ivf + max(16, lmax_ivf // 4))
 
 
 def _ninv(nlev):
-    """Inverse noise per steradian times the lensing mask, resampled to the ring grid."""
-    vmap = 1. / (nlev / 60. / 180. * np.pi) ** 2
+    """Per-pixel inverse noise variance times the lensing mask on the ring grid.
+
+    CinvT/CinvP take inverse variance per *pixel* (models/cinv.py NinvFilterT); the
+    white-noise level nlev [uK-arcmin] gives 1/sigma_sterad^2 per steradian, times the
+    quadrature area of each ring-grid pixel.
+    """
+    omega = np.outer(geom.weight, np.full(geom.nphi, 2. * np.pi / geom.nphi))
+    vmap = omega / (nlev / 60. / 180. * np.pi) ** 2
     fn = os.path.join(DATA, 'lensing_mask.fits')
     if not os.path.exists(fn):
         raise FileNotFoundError('Planck lensing mask expected at %s '
@@ -93,12 +105,25 @@ class _Lazy:
         return getattr(self._obj, name)
 
 
+# PLK_CACHE_DIR makes filtered alms + CG solutions restartable (warm starts on re-runs)
+_CACHE_DIR = os.environ.get('PLK_CACHE_DIR')
+
+
+def _cacher(sub):
+    if _CACHE_DIR:
+        from plancklens_tpu.utils.cachers import cacher_npy
+        return cacher_npy(os.path.join(_CACHE_DIR, sub))
+    return None
+
+
 cinv_t = _Lazy(lambda: CinvT(lmax_ivf, geom, cl_len, transf, _ninv(nlev_t),
-                             marge_monopole=True, marge_dipole=True, eps_min=1e-5))
+                             marge_monopole=True, marge_dipole=True, eps_min=1e-5,
+                             dense_cacher=_cacher('dense')))
 cinv_p = _Lazy(lambda: CinvP(lmax_ivf, geom, cl_len, transf, _ninv(nlev_p),
-                             eps_min=1e-5))
+                             eps_min=1e-5, dense_cacher=_cacher('dense')))
 sims = _Lazy(lambda: AlmMapLib(sims_alm, geom, lmax_ivf))
-ivfs_raw = _Lazy(lambda: IVFCinv(cinv_t, cinv_p, sims, cl_len))
+ivfs_raw = _Lazy(lambda: IVFCinv(cinv_t, cinv_p, sims, cl_len, cacher=_cacher('ivfs'),
+                                 soltn_cacher=_cacher('cg_soltns')))
 
 # isotropic rescaling of the filtered alms (reference: lines 70-74 load the empirical
 # ftl/fel/fbl; without the Planck auxiliary files the fiducial ones are used)
@@ -109,11 +134,13 @@ fbl_rs = (ls >= lmin_ivf) * 1.
 ivfs = _Lazy(lambda: IVFFtl(ivfs_raw, ftl_rs, fel_rs, fbl_rs))
 
 # ------------------------------------------------------ shuffled pairs for MC-N0 (RDN0)
-# ss: idx -> idx+1 in blocks of 60; ds: every sim index -> the data map
+# ss: idx -> idx+1 in blocks of 60 (degenerating to one block when nsims < 60, where
+# the reference recipe would make ss == dd); ds: every sim index -> the data map
 # (reference: params/smicadx12_planck2018.py:77-84)
-ss_dict = {k: v for i in range(5)
-           for k, v in zip(range(i * 60, (i + 1) * 60),
-                           np.roll(np.arange(i * 60, (i + 1) * 60), -1))}
+_blk = 60 if nsims % 60 == 0 else nsims
+ss_dict = {k: v for i in range(nsims // _blk)
+           for k, v in zip(range(i * _blk, (i + 1) * _blk),
+                           np.roll(np.arange(i * _blk, (i + 1) * _blk), -1))}
 ds_dict = {k: -1 for k in range(nsims)}
 
 from plancklens_tpu.models.filt import IVFShuffle
@@ -122,12 +149,15 @@ ivfs_s = _Lazy(lambda: IVFShuffle(ivfs, ss_dict))
 
 
 # --------------------------------------------------------------------- QE libraries
-qlms_dd = _Lazy(lambda: QELib(ivfs, ivfs, cl_weight, lmax_ivf, lmax_qlm))
-qlms_ds = _Lazy(lambda: QELib(ivfs, ivfs_d, cl_weight, lmax_ivf, lmax_qlm))
-qlms_ss = _Lazy(lambda: QELib(ivfs, ivfs_s, cl_weight, lmax_ivf, lmax_qlm))
+qlms_dd = _Lazy(lambda: QELib(ivfs, ivfs, cl_weight, lmax_ivf, lmax_qlm,
+                              cacher=_cacher('qlms_dd')))
+qlms_ds = _Lazy(lambda: QELib(ivfs, ivfs_d, cl_weight, lmax_ivf, lmax_qlm,
+                              cacher=_cacher('qlms_ds')))
+qlms_ss = _Lazy(lambda: QELib(ivfs, ivfs_s, cl_weight, lmax_ivf, lmax_qlm,
+                              cacher=_cacher('qlms_ss')))
 
-mc_sims_bias = np.arange(60, dtype=int)
-mc_sims_var = np.arange(60, 300, dtype=int)
+mc_sims_bias = np.arange(nsims // 5, dtype=int)
+mc_sims_var = np.arange(nsims // 5, nsims, dtype=int)
 mc_sims_mf_dd = mc_sims_bias
 mc_sims_mf_ds = np.array([])
 mc_sims_mf_ss = np.array([])
@@ -150,4 +180,4 @@ fal = {'tt': np.nan_to_num(ftl_rs / (cl_len['tt'][:lmax_ivf + 1]
 qresp_dd = qresp.RespLib(lmax_ivf, cl_weight, cl_len, fal, lmax_qlm)
 nhl_dd = _Lazy(lambda: nhl.NhlLib(ivfs, cl_weight, lmax_qlm, resplib=qresp_dd))
 n1_dd = N1Lib(cl_len['tt'], cl_len['te'], cl_len['ee'],
-              lmaxphi=2500, dL=10, lps=None)
+              lmaxphi=min(2500, 2 * lmax_ivf), dL=10, lps=None)
