@@ -99,9 +99,9 @@ def recursion_tables(lmax, mmax, n, theta, grid_token=None, dtype=np.float64):
     return out
 
 
-@partial(jax.jit, static_argnums=(0, 1, 10))
+@partial(jax.jit, static_argnums=(0, 1, 10, 11))
 def _legendre_scan(mode, S, C_or_Q, alpha, beta, gamma, l0, seed_v, seed_k, x,
-                   mxu=False):
+                   mxu=False, chunk=1):
     """Scan over l of the scaled d-recursion.
 
     mode 'synth':  C_or_Q (batch, lmax+1, mmax+1) -> G (batch, nrings, mmax+1)
@@ -132,22 +132,21 @@ def _legendre_scan(mode, S, C_or_Q, alpha, beta, gamma, l0, seed_v, seed_k, x,
         fac = jnp.where(cond, down, jnp.ones_like(d_next))
         return d_new * fac, d_next * fac, k + cond.astype(jnp.int32)
 
-    # l-loop chunking (PLK_SHT_CHUNK): CHUNK l-steps are unrolled inside each scan step.
-    # Default 1: both the XLA TPU cost model and measured CPU wall time degrade
+    # l-loop chunking: CHUNK l-steps are unrolled inside each scan step. Default 1 off
+    # the MXU path: both the XLA TPU cost model and measured CPU wall time degrade
     # monotonically with chunk size (lmax-512 spin-2 synthesis: 2.0 s at CHUNK=1 vs
     # 22.8 s at the former default 8 on one CPU core; cost-model flops/bytes at lmax
     # 2048: 3.72e10/1.66e10 at 1 vs 4.18e10/1.95e10 at 8 — docs/PERF.md) — the compiler
     # fuses the single-l body into one streaming bundle, while unrolled chunks
-    # materialise per-j intermediates. Chunking stays available for the MXU accumulate
-    # path, whose per-chunk GEMM contracts the chunk's l-dimension (use CHUNK >= 8
-    # with PLK_SHT_MXU=1).
-    CHUNK = int(__import__('os').environ.get('PLK_SHT_CHUNK', 1))  # perf knob
-    # PLK_SHT_MXU=1: gather the chunk's d-values into an (l, rings, m) stack and do the
+    # materialise per-j intermediates. On the MXU path the chunk is the GEMM's
+    # l-extent (default 8). Both resolved by _dispatch; see there for the knobs.
+    CHUNK = chunk
+    # mxu=True: gather the chunk's d-values into an (l, rings, m) stack and do the
     # accumulate as ONE einsum contracting l — a batched-(over m) (batch x l)@(l x rings)
     # GEMM, i.e. MXU-shaped on TPU (BLAS-shaped on CPU) instead of CHUNK sequential
     # multiply-adds on the VPU. Worthwhile once batch reaches GEMM-efficient sizes
     # (production sims batches); at small batch the recursion stream dominates either way
-    # (docs/PERF.md roofline).
+    # (docs/PERF.md roofline). Auto-enabled by batch size in _dispatch.
     MXU = mxu
     npad = (-lmaxp1) % CHUNK
     nchunks = (lmaxp1 + npad) // CHUNK
@@ -262,10 +261,11 @@ def _sym_split(theta, grid_token=None):
     return out
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 20, 21))
 def _legendre_pair_ns(mode, S, single, nrings, Cp_or_Qp, Cm_or_Qm, sgn_m,
                       a_m, b_m, g_m, l0_m, sv_m, sk_m,
-                      a_p, b_p, g_p, l0_p, sv_p, sk_p, x):
+                      a_p, b_p, g_p, l0_p, sv_p, sk_p, x,
+                      mxu=False, chunk=1):
     """Fused (-n, +n) Legendre transforms on the northern half of a symmetric grid.
 
     mode 'synth':  Cp (batch, lmax+1, mmax+1) -> Fp (batch, nrings, mmax+1) of the (-n)
@@ -301,7 +301,8 @@ def _legendre_pair_ns(mode, S, single, nrings, Cp_or_Qp, Cm_or_Qm, sgn_m,
         fac = jnp.where(cond, down, jnp.ones_like(d_next))
         return d_new * fac, d_next * fac, k + cond.astype(jnp.int32)
 
-    CHUNK = int(__import__('os').environ.get('PLK_SHT_CHUNK', 1))  # see _legendre_scan
+    CHUNK = chunk       # see _legendre_scan / _dispatch
+    MXU = mxu
     npad = (-lmaxp1) % CHUNK
     nchunks = (lmaxp1 + npad) // CHUNK
 
@@ -343,6 +344,40 @@ def _legendre_pair_ns(mode, S, single, nrings, Cp_or_Qp, Cm_or_Qm, sgn_m,
             st_m = carry[:3]
             st_p = carry[3:6]
             accs = list(carry[6:])
+            if MXU:
+                # stack the chunk's d-values, then contract l with ONE einsum per
+                # accumulator — a batched (batch x l)@(l x rings) GEMM (see
+                # _legendre_scan; same break-even, docs/PERF.md)
+                dm_st, dms_st, dp_st, dps_st = [], [], [], []
+                for j in range(CHUNK):
+                    sgn_l = jnp.where(lc[j] % 2 == 0, 1., -1.).astype(adtype)
+                    dm_eff = (st_m[1] * jnp.exp2((S * st_m[2]).astype(rdtype))) \
+                        .astype(adtype)
+                    dp_eff = dm_eff if single else \
+                        (st_p[1] * jnp.exp2((S * st_p[2]).astype(rdtype))).astype(adtype)
+                    dm_st.append(dm_eff)
+                    dms_st.append(dp_eff * (sgn_l * sgn_m_row)[None, :])
+                    if not single:
+                        dp_st.append(dp_eff)
+                        dps_st.append(dm_eff * (sgn_l * sgn_m_row)[None, :])
+                    st_m = recurse(lc[j], st_m, am[j], bm[j], gm[j], l0_m, sv_m, sk_m)
+                    if not single:
+                        st_p = recurse(lc[j], st_p, ap_[j], bp_[j], gp_[j],
+                                       l0_p, sv_p, sk_p)
+                dm_mat, dms_mat = jnp.stack(dm_st), jnp.stack(dms_st)
+                a = 0
+                for Cp in Cps:
+                    accs[a] = accs[a] + jnp.einsum('lbm,lrm->brm', Cp, dm_mat)
+                    accs[a + 1] = accs[a + 1] + jnp.einsum('lbm,lrm->brm', Cp, dms_mat)
+                    a += 2
+                if not single:
+                    dp_mat, dps_mat = jnp.stack(dp_st), jnp.stack(dps_st)
+                    for Cm in Cms:
+                        accs[a] = accs[a] + jnp.einsum('lbm,lrm->brm', Cm, dp_mat)
+                        accs[a + 1] = accs[a + 1] + jnp.einsum('lbm,lrm->brm',
+                                                               Cm, dps_mat)
+                        a += 2
+                return st_m + st_p + tuple(accs), None
             for j in range(CHUNK):
                 sgn_l = jnp.where(lc[j] % 2 == 0, 1., -1.).astype(adtype)
                 dm_eff = (st_m[1] * jnp.exp2((S * st_m[2]).astype(rdtype))).astype(adtype)
@@ -433,6 +468,36 @@ def _legendre_pair_ns(mode, S, single, nrings, Cp_or_Qp, Cm_or_Qm, sgn_m,
                 ap_, bp_, gp_ = xs[4:7]
                 st_m = carry[:3]
                 st_p = carry[3:]
+                if MXU:
+                    # (CHUNK, R, m) d-stacks, then ONE l-batched GEMM per output; the
+                    # per-l south sign is folded into the signed southern stack
+                    dm_st, dp_st, dms_st, dps_st = [], [], [], []
+                    for j in range(CHUNK):
+                        sgn_l = jnp.where(lc[j] % 2 == 0, 1., -1.).astype(adtype)
+                        dm_eff = (st_m[1] * jnp.exp2((S * st_m[2]).astype(rdtype))) \
+                            .astype(adtype)
+                        dp_eff = dm_eff if single else \
+                            (st_p[1] * jnp.exp2((S * st_p[2]).astype(rdtype))) \
+                            .astype(adtype)
+                        dm_st.append(dm_eff)
+                        dp_st.append(dp_eff)
+                        dms_st.append(sgn_l * dm_eff)
+                        dps_st.append(sgn_l * dp_eff)
+                        st_m = rec(lc[j], st_m, am[j], bm[j], gm[j], l0_m, svm, skm)
+                        if not single:
+                            st_p = rec(lc[j], st_p, ap_[j], bp_[j], gp_[j],
+                                       l0_p, svp, skp)
+                    dm_mat, dps_mat = jnp.stack(dm_st), jnp.stack(dps_st)
+                    A = tuple(jnp.einsum('brm,lrm->lbm', Qn, dm_mat)
+                              + jnp.einsum('brm,lrm->lbm', Qs, dps_mat)
+                              for Qn, Qs in zip(Qpn, Qps))
+                    if single:
+                        return st_m + st_p, A
+                    dp_mat, dms_mat = jnp.stack(dp_st), jnp.stack(dms_st)
+                    B = tuple(jnp.einsum('brm,lrm->lbm', Qn, dp_mat)
+                              + jnp.einsum('brm,lrm->lbm', Qs, dms_mat)
+                              for Qn, Qs in zip(Qmn, Qms))
+                    return st_m + st_p, A + B
                 emits = []
                 for j in range(CHUNK):
                     sgn_l = jnp.where(lc[j] % 2 == 0, 1., -1.).astype(adtype)
@@ -546,16 +611,39 @@ def _run_pair(mode, data_p, data_m, spin, theta, lmax, grid_token, dtype):
     tb_p = _tabs_for(t_p, data_p)
     sgn_m = np.where(np.arange(mmax + 1) % 2 == 0, 1., -1.)
     dummy = data_p if single else data_m
+    mxu, chunk = _dispatch(data_p.shape[0], anal=(mode == 'anal'))
     return _legendre_pair_ns(mode, t_m['S'], single, nrings,
                              jnp.asarray(data_p), jnp.asarray(dummy), sgn_m,
                              tb_m['alpha'], tb_m['beta'], tb_m['gamma'],
                              tb_m['l0'], tb_m['seed_v'], tb_m['seed_k'],
                              tb_p['alpha'], tb_p['beta'], tb_p['gamma'],
-                             tb_p['l0'], tb_p['seed_v'], tb_p['seed_k'], tb_m['x'])
+                             tb_p['l0'], tb_p['seed_v'], tb_p['seed_k'], tb_m['x'],
+                             mxu, chunk)
 
 
-def _mxu_enabled():
-    return __import__('os').environ.get('PLK_SHT_MXU', '0') == '1'
+def _dispatch(batch, anal=False):
+    """(mxu, chunk) for a Legendre call on a `batch` of maps.
+
+    The MXU-shaped accumulate (chunked l-GEMM) is auto-enabled for ANALYSIS once the
+    batch reaches GEMM-efficient sizes (batch >= PLK_SHT_MXU_BATCH, default 16):
+    measured on the production NS-pair path at lmax 256, analysis wall 8.5 -> 5.9 s
+    at batch 32 and 10.4 -> 4.6 s at batch 64 on one CPU core at flop-neutral XLA
+    cost (the contraction becomes a BLAS/MXU GEMM instead of VPU multiply-adds).
+    Synthesis keeps the streaming CHUNK=1 accumulate: there the d-stack + twin
+    north/south einsums RAISE the cost model by ~40% flops/bytes and the measured
+    wall by 1.4-5x (docs/PERF.md), so MXU synthesis is opt-in only.
+    PLK_SHT_MXU=1/0 forces both directions on/off. The l-chunk is the GEMM's
+    l-extent on the MXU path (default 8) and 1 otherwise; PLK_SHT_CHUNK overrides.
+    """
+    import os
+    env = os.environ.get('PLK_SHT_MXU', '')
+    if env in ('0', '1'):
+        mxu = env == '1'
+    else:
+        mxu = anal and batch >= int(os.environ.get('PLK_SHT_MXU_BATCH', '16'))
+    cenv = os.environ.get('PLK_SHT_CHUNK', '')
+    chunk = int(cenv) if cenv else (8 if mxu else 1)
+    return mxu, chunk
 
 
 def _ns_enabled():
@@ -608,9 +696,10 @@ def legendre_synth(C, n, theta, grid_token=None, dtype=np.float64, engine='xla')
         interp = jax.default_backend() == 'cpu'
         return legendre_synth_pallas(C, t, np.cos(np.asarray(theta)), interpret=interp)
     tb = _tabs_for(t, C)
+    mxu, chunk = _dispatch(C.shape[0])
     return _legendre_scan('synth', t['S'], jnp.asarray(C), tb['alpha'], tb['beta'],
                           tb['gamma'], tb['l0'], tb['seed_v'], tb['seed_k'], tb['x'],
-                          mxu=_mxu_enabled())
+                          mxu=mxu, chunk=chunk)
 
 
 def legendre_anal(Q, n, theta, lmax, grid_token=None, dtype=np.float64, engine='xla'):
@@ -624,6 +713,7 @@ def legendre_anal(Q, n, theta, lmax, grid_token=None, dtype=np.float64, engine='
         interp = jax.default_backend() == 'cpu'
         return legendre_anal_pallas(Q, t, np.cos(np.asarray(theta)), lmax, interpret=interp)
     tb = _tabs_for(t, Q)
+    mxu, chunk = _dispatch(Q.shape[0], anal=True)
     return _legendre_scan('anal', t['S'], jnp.asarray(Q), tb['alpha'], tb['beta'],
                           tb['gamma'], tb['l0'], tb['seed_v'], tb['seed_k'], tb['x'],
-                          mxu=_mxu_enabled())
+                          mxu=mxu, chunk=chunk)

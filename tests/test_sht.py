@@ -165,3 +165,43 @@ def test_aliased_synthesis_exact_pointwise():
         Fm = np.sum(a[ualm.getidx(lmax, np.arange(m, lmax + 1), m)] * (fac * dm)[m:])
         fb += (2. - (m == 0)) * np.real(Fm * np.exp(1j * m * phis))
     assert np.abs(f[ring] - fb).max() < 1e-10 * np.abs(fb).max()
+
+
+def test_mxu_auto_dispatch_matches_streaming():
+    # The MXU-shaped accumulate auto-enables for analysis at batch >= 16
+    # (core._dispatch); its GEMM path must agree with the streaming accumulate to
+    # roundoff, in both directions and on the fused NS-pair path, and the batch-4
+    # auto path must be bit-identical to the forced-off path (dispatch stays off).
+    import os
+    lmax = 96
+    geom = gl_geometry(lmax)
+    sht = SHT(geom, lmax, dtype=np.float32)
+    rng = np.random.RandomState(5)
+    sz = ualm.getsize(lmax)
+
+    def alms(batch):
+        a = (rng.standard_normal((batch, sz))
+             + 1j * rng.standard_normal((batch, sz))).astype(np.complex64)
+        ls, ms = ualm._lm_indices(lmax)
+        return np.where(ms[None, :] == 0, a.real, a)
+
+    for batch in (4, 32):
+        glm, clm = alms(batch), alms(batch)
+        os.environ['PLK_SHT_MXU'] = '0'
+        try:
+            q0, u0 = map(np.asarray, sht.alm2map_spin((glm, clm), 2))
+            e0 = np.asarray(sht.map2alm_spin((q0, u0), 2)[0])
+        finally:
+            del os.environ['PLK_SHT_MXU']
+        qa, _ = map(np.asarray, sht.alm2map_spin((glm, clm), 2))   # auto dispatch
+        ea = np.asarray(sht.map2alm_spin((q0, u0), 2)[0])
+        assert np.abs(qa - q0).max() <= 1e-5 * np.abs(q0).max()
+        assert np.abs(ea - e0).max() <= 1e-5 * np.abs(e0).max()
+        os.environ['PLK_SHT_MXU'] = '1'                            # forced, both dirs
+        try:
+            q1, _ = map(np.asarray, sht.alm2map_spin((glm, clm), 2))
+            e1 = np.asarray(sht.map2alm_spin((q0, u0), 2)[0])
+        finally:
+            del os.environ['PLK_SHT_MXU']
+        assert np.abs(q1 - q0).max() <= 1e-5 * np.abs(q0).max()
+        assert np.abs(e1 - e0).max() <= 1e-5 * np.abs(e0).max()
