@@ -1091,3 +1091,65 @@ def make_multigrid_pre_op(geom, ninv, b_transf, cltt, lmax, stage_lmaxs, stage_i
                            marge_monopole=marge_monopole, marge_dipole=marge_dipole)
     _, _, diag_top, _ = filt_top.make_ops(lmax, cltt)
     return split_pre_op(chain, diag_top, stage_lmaxs[0], lmax)
+
+
+def make_multigrid_pre_op_p(geom, ninv, b_transf, clee, clbb, lmax, stage_lmaxs,
+                            stage_iters, lmax_dense=16):
+    """Polarisation multigrid preconditioner chain for the coupled E/B (spin-2) system
+    (reference: plancklens/qcinv/multigrid.py with opfilt_pp — the reference chain is
+    opfilt-generic, multigrid.py:113-160; this is its pol instantiation here).
+
+    Same structure as the T chain (make_multigrid_pre_op): each stage runs a few fixed
+    PCG iterations of the system restricted to a coarser band limit/geometry,
+    preconditioned by the next stage; the innermost stage uses the probed dense block
+    of the coupled E/B operator. Operates on stacked (batch, 2, nalm) E/B vectors.
+
+    Status: like the T chain, structurally correct but NOT the recommended
+    preconditioner — measured on the coupled E/B system it loses to plain diag /
+    split(dense, diag) (docs/PERF.md round-4 pol arm); provided for reference parity
+    with the measured record of why it is default-off.
+    """
+    from ..ops.sht import gl_geometry
+    trip = ninv if isinstance(ninv, (list, tuple)) else (ninv,)
+
+    def build(level):
+        lm = stage_lmaxs[level]
+        geom_l = gl_geometry(lm)
+        ninv_l = tuple(degrade_ninv(m, geom, geom_l) for m in trip)
+        filt_l = NinvFilterP(geom_l, ninv_l, b_transf[:lm + 1])
+        fwd_l, _, diag_l, _ = filt_l.make_ops(lm, clee, clbb)
+        if level + 1 < len(stage_lmaxs):
+            low = build(level + 1)
+            inner_pre = split_pre_op(low, diag_l, stage_lmaxs[level + 1], lm)
+        else:
+            dense = dense_pre_op_stacked(fwd_l, min(lmax_dense, lm), lm, 2)
+            inner_pre = split_pre_op(dense, diag_l, min(lmax_dense, lm), lm)
+        ms2_l = jnp.concatenate([_lm_ms(lm), _lm_ms(lm)])
+        nalm_l = ualm.getsize(lm)
+        n_it = stage_iters[level]
+
+        def pre_op(r):
+            # r stacked (batch, 2, nalm) at the PARENT's band limit
+            lmax_parent = ualm.getlmax(r.shape[-1])
+            r_c = ualm.alm_copy(r, lmax_parent, lm)
+            bsz = r_c.shape[0]
+
+            def fwd_flat(xf):
+                return fwd_l(xf.reshape(bsz, 2, nalm_l)).reshape(bsz, -1)
+
+            def pre_flat(rf):
+                return inner_pre(rf.reshape(bsz, 2, nalm_l)).reshape(bsz, -1)
+
+            x_c = cg.pcg_fixed(fwd_flat, pre_flat, r_c.reshape(bsz, -1),
+                               jnp.zeros((bsz, 2 * nalm_l), dtype=r_c.dtype),
+                               n_it, ms2_l).reshape(bsz, 2, nalm_l)
+            return ualm.alm_copy(x_c, lm, lmax_parent)
+
+        return pre_op
+
+    chain = build(0)
+    if stage_lmaxs[0] >= lmax:
+        return chain
+    filt_top = NinvFilterP(geom, ninv, b_transf[:lmax + 1])
+    _, _, diag_top, _ = filt_top.make_ops(lmax, clee, clbb)
+    return split_pre_op(chain, diag_top, stage_lmaxs[0], lmax)

@@ -442,3 +442,49 @@ def test_pcg_ir_matches_pcg_f32():
     xs, _, rels = cg.solve(make_fwd(np.float32), lambda r: r, b32,
                            jnp.zeros_like(b32), 4000, 1e-5, ms_j)
     assert float(np.asarray(rels).max()) < 1e-5
+
+
+@pytest.mark.slow
+def test_multigrid_pre_op_p_structurally_sound():
+    """Pol instantiation of the multigrid chain (the reference chain is opfilt-generic,
+    multigrid.py:113-160): non-singular across the full E/B band and accelerates CG on
+    the coupled spin-2 system over no preconditioning. The preconditioner CONTEST on
+    this system is recorded in docs/PERF.md (round-4 pol arm: loses to diag/dense, as
+    in T) — this test pins the structure, not the recommendation."""
+    from plancklens_tpu.models.cinv import NinvFilterP, make_multigrid_pre_op_p
+    from plancklens_tpu.ops import cg
+    import jax.numpy as jnp
+    lmax = 48
+    cls = camb_clfile(os.path.join(
+        plancklens_tpu.DATAPATH, 'cls', 'FFP10_wdipole_lensedCls.dat'), lmax=lmax)
+    geom = gl_geometry(lmax)
+    sht = SHT(geom, lmax)
+    omega = np.outer(geom.weight, np.full(geom.nphi, 2 * np.pi / geom.nphi))
+    sig_pix = (30. / 60. / 180. * np.pi) / np.sqrt(omega)
+    rng = np.random.RandomState(3)
+    ninv = (1. / sig_pix ** 2) * (np.abs(np.cos(geom.theta))[:, None] > 0.2)
+    transf = np.ones(lmax + 1)
+    filt = NinvFilterP(geom, ninv, transf)
+    fwd, prep, diag, _ = filt.make_ops(lmax, cls['ee'], cls['bb'])
+    mg = make_multigrid_pre_op_p(geom, ninv, transf, cls['ee'], cls['bb'], lmax,
+                                 [32], [3], lmax_dense=16)
+    ls, ms = ualm._lm_indices(lmax)
+    # non-singular above the coarse stage, in both E and B components
+    r = jnp.asarray(np.where(ls == 45, 1. + 0j, 0.))
+    out = np.asarray(mg(jnp.stack([r, r])[None]))
+    assert np.abs(out[0, 0]).max() > 0. and np.abs(out[0, 1]).max() > 0.
+    # preconditioned CG beats identity-preconditioned CG at equal iterations
+    qmap = rng.standard_normal((1, geom.nrings, geom.nphi)) * sig_pix[None]
+    umap = rng.standard_normal((1, geom.nrings, geom.nphi)) * sig_pix[None]
+    b = prep(jnp.asarray(qmap), jnp.asarray(umap))
+    bsz, nalm = b.shape[0], b.shape[-1]
+    ms2 = jnp.concatenate([jnp.asarray(ms), jnp.asarray(ms)])
+
+    def flat(op):
+        return lambda xf: op(xf.reshape(bsz, 2, nalm)).reshape(bsz, -1)
+
+    bf = b.reshape(bsz, -1)
+    _, _, rel_mg = cg.pcg(flat(fwd), flat(mg), bf, jnp.zeros_like(bf), 25, 1e-12, ms2)
+    _, _, rel_id = cg.pcg(flat(fwd), lambda x: x, bf, jnp.zeros_like(bf), 25, 1e-12, ms2)
+    assert float(np.asarray(rel_mg).max()) < float(np.asarray(rel_id).max()), \
+        (np.asarray(rel_mg), np.asarray(rel_id))
