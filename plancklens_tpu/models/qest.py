@@ -73,7 +73,7 @@ def _eval_leg(leg, get_alm, sht):
 
 
 def eval_qe(qe_key, lmax_ivf, cls_weight, get_alm, lmax_qlm, geom=None, get_alm2=None,
-            transf=None, profile=None, verbose=False):
+            transf=None, profile=None, verbose=False, dtype=None):
     """Evaluate a QE's gradient and curl alms from filtered-alm providers.
 
     Args:
@@ -84,15 +84,19 @@ def eval_qe(qe_key, lmax_ivf, cls_weight, get_alm, lmax_qlm, geom=None, get_alm2
         lmax_qlm: output band limit
         geom: optional RingGeometry; defaults to a GL grid exact for the triple product
         get_alm2: second-leg provider (estimator symmetrised when provided)
+        dtype: SHT engine real dtype (default float64; pass np.float32 for the
+            production map-level precision)
 
     Returns:
         (glm, clm) batched triangular alms.
     """
     qe_list = qresp.get_qes(qe_key, lmax_ivf, cls_weight, transf=transf, profile=profile)
-    return qe_eval(qe_list, get_alm, lmax_qlm, geom=geom, get_alm2=get_alm2, verbose=verbose)
+    return qe_eval(qe_list, get_alm, lmax_qlm, geom=geom, get_alm2=get_alm2,
+                   verbose=verbose, dtype=dtype)
 
 
-def qe_eval(qe_list, get_alm, lmax_qlm, geom=None, get_alm2=None, verbose=False):
+def qe_eval(qe_list, get_alm, lmax_qlm, geom=None, get_alm2=None, verbose=False,
+            dtype=None):
     """Generic position-space QE evaluation (reference: plancklens/utils_qe.py:92-132)."""
     if get_alm2 is None:
         get_alm2 = get_alm
@@ -104,8 +108,9 @@ def qe_eval(qe_list, get_alm, lmax_qlm, geom=None, get_alm2=None, verbose=False)
     lmax_leg = max(max(q[0].get_lmax(), q[1].get_lmax()) for q in qes)
     if geom is None:
         geom = gl_geometry((2 * lmax_leg + lmax_qlm) // 2, nphi=None)
-    sht_leg = SHT(geom, lmax_leg)
-    sht_out = SHT(geom, lmax_qlm)
+    kw = {} if dtype is None else {'dtype': dtype}
+    sht_leg = SHT(geom, lmax_leg, **kw)
+    sht_out = SHT(geom, lmax_qlm, **kw)
     d = None
     for q in qes:
         term = _eval_leg(q[0], get_alm, sht_leg) * _eval_leg(q[1], get_alm2, sht_leg)

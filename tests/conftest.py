@@ -27,8 +27,9 @@ def pytest_addoption(parser):
 def pytest_configure(config):
     config.addinivalue_line(
         'markers', 'slow: heavy end-to-end tests (several minutes); run with --runslow '
-                   'or PLK_SLOW=1. Measured on one CPU core: default tier ~6 min, '
-                   'full suite ~18 min (2026-08-17).')
+                   'or PLK_SLOW=1. Measured on one CPU core: default tier ~8 min, '
+                   'full suite ~25 min (2026-08-18; PLK_CACHE_DIR makes slow-tier '
+                   're-runs much cheaper).')
 
 
 def pytest_collection_modifyitems(config, items):
