@@ -64,14 +64,18 @@ for zc, pc, r in ((0.6, 1.0, 0.05), (-0.5, 4.0, 0.04), (0.3, 2.5, 0.03)):
 ninv_t = sims.ninv_t() * mask
 ninv_p = sims.ninv_p() * mask
 
-# PLK_CACHE_DIR makes filtered alms + CG solutions restartable (warm starts on re-runs)
+# PLK_CACHE_DIR makes filtered alms + CG solutions restartable (warm starts on re-runs).
+# The cache root carries a configuration token so DIFFERENT configurations sharing one
+# PLK_CACHE_DIR (e.g. several test scales) can never load each other's products — the
+# role of the reference's hash_check guard (plancklens/utils.py:144-180).
 _CACHE_DIR = os.environ.get('PLK_CACHE_DIR')
+_CFG = 'aniso_l%d_n%d_t%g_p%g' % (lmax_ivf, nsims, nlev_t, nlev_p)
 
 
 def _cacher(sub):
     if _CACHE_DIR:
         from plancklens_tpu.utils.cachers import cacher_npy
-        return cacher_npy(os.path.join(_CACHE_DIR, sub))
+        return cacher_npy(os.path.join(_CACHE_DIR, _CFG, sub))
     return None
 
 

@@ -105,14 +105,20 @@ class _Lazy:
         return getattr(self._obj, name)
 
 
-# PLK_CACHE_DIR makes filtered alms + CG solutions restartable (warm starts on re-runs)
+# PLK_CACHE_DIR makes filtered alms + CG solutions restartable (warm starts on re-runs).
+# The cache root carries a configuration token so DIFFERENT configurations sharing one
+# PLK_CACHE_DIR can never load each other's products — the role of the reference's
+# hash_check guard (plancklens/utils.py:144-180).
 _CACHE_DIR = os.environ.get('PLK_CACHE_DIR')
+_CFG = 'smica_l%d_ns%d_n%d_t%g_p%g_%s' % (
+    lmax_ivf, nside, nsims, nlev_t, nlev_p,
+    __import__('hashlib').md5(DATA.encode()).hexdigest()[:8])  # data root in the key
 
 
 def _cacher(sub):
     if _CACHE_DIR:
         from plancklens_tpu.utils.cachers import cacher_npy
-        return cacher_npy(os.path.join(_CACHE_DIR, sub))
+        return cacher_npy(os.path.join(_CACHE_DIR, _CFG, sub))
     return None
 
 

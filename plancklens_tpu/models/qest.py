@@ -142,7 +142,7 @@ class QELib:
     """
 
     def __init__(self, ivfs1, ivfs2, cls_weight, lmax_ivf, lmax_qlm, cacher=None,
-                 resplib=None, transf=None, profile=None):
+                 resplib=None, transf=None, profile=None, dtype=None):
         self.ivfs1 = ivfs1
         self.ivfs2 = ivfs2
         self.cls_weight = cls_weight
@@ -152,6 +152,7 @@ class QELib:
         self.resplib = resplib  # needed for '_bh_' (bias-hardened) keys
         self.transf = transf    # beam: needed for the 'ntt' noise estimator
         self.profile = profile  # 'd'-source profile (qresp._source_profile)
+        self.dtype = dtype      # SHT engine dtype (None = f64; np.float32 in production)
         # device-side memo in front of the persistent cacher, so repeated get_sim_qlm
         # calls (RDN0/qecl loops) return the on-device array without a host round-trip
         self._dev_memo = {}
@@ -224,7 +225,8 @@ class QELib:
     def _eval_key(self, k, get_alm, get_alm2):
         kk = 'p' + k[1:] if k[0] == 'x' else k  # grad and curl come from the same product
         return eval_qe(kk, self.lmax_ivf, self.cls_weight, get_alm, self.lmax_qlm,
-                       get_alm2=get_alm2, transf=self.transf, profile=self.profile)
+                       get_alm2=get_alm2, transf=self.transf, profile=self.profile,
+                       dtype=self.dtype)
 
     def _bh_qlm(self, k, get_qlm):
         from ..utils.cls import cli

@@ -144,3 +144,53 @@ def test_n0_iter_include_n1():
     assert np.any(N0_u1[1][sel] > N0_u[1][sel] * (1. + 1e-6)), 'N1 had no effect'
     # N1 is a perturbation at these noise levels, not a blow-up
     assert np.median(N1_u[0][sel] / N0_u1[0][sel]) < 0.5
+
+
+def test_patchy_inhomogeneous_two_level():
+    """Genuinely inhomogeneous map (20 vs 40 uK-arcmin hemispheres): every weighting
+    scheme's effective N0 must land between the two homogeneous extremes, optimal
+    (MV) patch re-weighting can only lower the effective noise at fixed filtering,
+    and the multiplicative MC correction departs from unity (it is the *point* of
+    the patchy machinery; reference: plancklens/patchy/patchy.py:13-111)."""
+    from plancklens_tpu.models.patchy import get_patchy_N0s, get_responses, get_nhls
+    from plancklens_tpu.utils import cli
+    lmax = 128
+    cls_len = camb_clfile(os.path.join(plancklens_tpu.DATAPATH, 'cls',
+                                       'FFP10_wdipole_lensedCls.dat'), lmax=2 * lmax)
+    cls_unl = camb_clfile(os.path.join(plancklens_tpu.DATAPATH, 'cls',
+                                       'FFP10_wdipole_lenspotentialCls.dat'),
+                          lmax=2 * lmax)
+    geom = gl_geometry(32)
+    z = np.cos(geom.theta)[:, None]
+    omega = np.outer(geom.weight, np.full(geom.nphi, 2 * np.pi / geom.nphi))
+    nl = np.where(z > 0, 20., 40.) * np.ones_like(omega)
+    ivmap = omega / (nl / 60. / 180. * np.pi) ** 2
+    transf = np.ones(lmax + 1)
+    lmin = 10
+    N0s, MC, cMC = get_patchy_N0s('ptt', 2, ivmap.ravel(), ivmap.ravel(),
+                                  omega.ravel(), cls_unl, cls_len, cls_len, cls_len,
+                                  lmin, lmax, lmax, transf)
+    # homogeneous extremes through the same response/nhl machinery
+    sel = slice(20, 100)
+
+    def hom_n0(nlev):
+        r = get_responses('ptt', cls_len, cls_len, cls_len, lmin, lmax, lmax, transf,
+                          [nlev], [1e30])[0][0]
+        n = get_nhls('ptt', 'ptt', cls_len, cls_len, cls_len, lmin, lmax, lmax,
+                     transf, [nlev], [nlev], [1e30], [1e30])[0][0]
+        return (np.asarray(n) * cli(np.asarray(r)) ** 2)[sel]
+
+    n0_deep, n0_shallow = hom_n0(20.), hom_n0(40.)
+    assert np.all(n0_deep < n0_shallow)
+    for k, v in N0s.items():
+        vv = np.asarray(v)[sel]
+        assert np.all(vv > 0.95 * n0_deep) and np.all(vv < 1.05 * n0_shallow), k
+    # optimal re-weighting helps (or is neutral) at fixed filtering
+    tol = 1.001
+    assert np.all(np.asarray(N0s['hom-filt, mv-rew'])[sel]
+                  <= tol * np.asarray(N0s['hom-filt, no-rew'])[sel])
+    assert np.all(np.asarray(N0s['inhom-filt, mv-rew'])[sel]
+                  <= tol * np.asarray(N0s['inhom-filt, no-rew'])[sel])
+    # the inhomogeneity is detected: MC corrections depart from unity
+    assert np.abs(np.asarray(MC)[sel] - 1.).max() > 1e-3
+    assert np.all(np.isfinite(np.asarray(cMC)[sel]))

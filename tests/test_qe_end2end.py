@@ -154,3 +154,14 @@ def test_profiled_source_keys():
         R_raw = np.asarray(resplib.get_response(kQE, ks))
         sel = slice(2, LM + 1)
         assert np.max(np.abs(R_bh[sel])) < 1e-8 * np.max(np.abs(R_raw[sel])), (kQE, ks)
+
+
+def test_qe_f32_engine_matches_f64():
+    # production map-level precision: the f32 SHT engine (QELib(dtype=np.float32))
+    # reproduces the f64 QE to f32 roundoff for both the pol and TT estimators
+    for key in ('p_p', 'ptt'):
+        q64 = np.asarray(QELib(IVFS, IVFS, CLS_LEN, LMAX, LMAX).get_sim_qlm(key, 0))
+        q32 = np.asarray(QELib(IVFS, IVFS, CLS_LEN, LMAX, LMAX,
+                               dtype=np.float32).get_sim_qlm(key, 0))
+        rel = np.abs(q32 - q64).max() / np.abs(q64).max()
+        assert rel < 3e-5, (key, rel)
