@@ -194,3 +194,23 @@ def test_patchy_inhomogeneous_two_level():
     # the inhomogeneity is detected: MC corrections depart from unity
     assert np.abs(np.asarray(MC)[sel] - 1.).max() > 1e-3
     assert np.all(np.isfinite(np.asarray(cMC)[sel]))
+
+
+def test_freq_weighting_variance_map_pol():
+    """Polarisation variance-map combination (reference: freq_weighting.py:46-79):
+    averaging two identical-noise frequencies with half weights halves the variance,
+    and the formula is symmetric under swapping the E and B weight functions (only
+    the squared Wigner functions of w_E +/- w_B enter)."""
+    from plancklens_tpu.models.freq_weighting import vmaps2vmap_P
+    lmax = 48
+    geom = gl_geometry(2 * lmax)
+    z = np.cos(geom.theta)[:, None]
+    V = (2. + z) * np.ones((geom.nrings, geom.nphi))
+    we = np.ones(lmax + 1)
+    wb = np.linspace(1., 0.5, lmax + 1)
+    v1 = vmaps2vmap_P([V], we, wb, geom)
+    v2 = vmaps2vmap_P([V, V], np.stack([we * .5] * 2), np.stack([wb * .5] * 2), geom)
+    assert np.allclose(v2, 0.5 * v1, rtol=1e-6)
+    v_swap = vmaps2vmap_P([V], wb, we, geom)
+    assert np.allclose(v_swap, v1, rtol=1e-10)
+    assert np.all(v1 > 0.)
