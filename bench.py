@@ -462,7 +462,13 @@ def _run_child(extra_env, budget, stall=150):
             proc.wait()
             break
     th.join(timeout=10)
-    return (out[-1] if out else None), killed
+    # last PARSEABLE line: a kill can truncate the final emit mid-write
+    for ln in reversed(out):
+        try:
+            return json.loads(ln), killed
+        except ValueError:
+            continue
+    return None, killed
 
 
 def main():
@@ -476,19 +482,21 @@ def main():
         child_main()
         return
     budget_tpu = max(60., DEADLINE - 170.)   # keep ~170 s for the CPU fallback
-    last, killed = _run_child({}, budget_tpu)
-    data = json.loads(last) if last else None
+    data, killed = _run_child({}, budget_tpu)
     if killed:
         note = 'tpu child %s; see docs/PERF.md relay caveats' % killed
         if data is not None:
             data['extras']['tpu_child'] = note
+    # the fallback runs unless EVERY on-chip entry arrived (a slow-but-live relay can
+    # be killed between cost arms); merged with setdefault, so partials are kept
+    onchip_keys = ('onchip_spin2_synth_ms_per_map', 'onchip_spin2_anal_ms_per_map',
+                   'onchip_cinv_ms_per_iter_lmax2048', 'onchip_qe_ptt_step_ms_lmax2048')
     have_onchip = data is not None and \
-        data['extras'].get('onchip_cinv_ms_per_iter_lmax2048') is not None
+        all(data['extras'].get(k) is not None for k in onchip_keys)
     if not have_onchip:
-        cpu_last, _ = _run_child({'PLK_BENCH_CPUONLY': '1'},
+        cpu_data, _ = _run_child({'PLK_BENCH_CPUONLY': '1'},
                                  max(60., DEADLINE - (time.time() - T0)))
-        if cpu_last:
-            cpu_data = json.loads(cpu_last)
+        if cpu_data:
             if data is None:
                 data = cpu_data
                 if killed:
@@ -496,6 +504,13 @@ def main():
             else:
                 for k, v in cpu_data['extras'].items():
                     data['extras'].setdefault(k, v)
+                # re-derive the composed projection if the tpu child missed it
+                oc_qe = data['extras'].get('onchip_qe_ptt_step_ms_lmax2048')
+                oc_it = data['extras'].get('onchip_cinv_ms_per_iter_lmax2048')
+                if oc_qe and oc_it and \
+                        'onchip_sims_per_hour_lmax2048_projected' not in data['extras']:
+                    data['extras']['onchip_sims_per_hour_lmax2048_projected'] = \
+                        round(3600. / ((oc_it * 160 + oc_qe) / 1e3), 1)
     if data is None:   # both children produced nothing: still a parseable line
         data = {'metric': 'spin2_alm2map_ms_per_map_lmax2048_batch%d' % BATCH,
                 'value': None, 'unit': 'ms', 'vs_baseline': None,

@@ -110,8 +110,8 @@ class _Lazy:
 # PLK_CACHE_DIR can never load each other's products — the role of the reference's
 # hash_check guard (plancklens/utils.py:144-180).
 _CACHE_DIR = os.environ.get('PLK_CACHE_DIR')
-_CFG = 'smica_l%d_ns%d_n%d_t%g_p%g_%s' % (
-    lmax_ivf, nside, nsims, nlev_t, nlev_p,
+_CFG = 'smica_l%d_lq%d_lm%d_ns%d_n%d_t%g_p%g_%s' % (
+    lmax_ivf, lmax_qlm, lmin_ivf, nside, nsims, nlev_t, nlev_p,
     __import__('hashlib').md5(DATA.encode()).hexdigest()[:8])  # data root in the key
 
 

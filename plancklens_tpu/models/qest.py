@@ -153,6 +153,9 @@ class QELib:
         self.transf = transf    # beam: needed for the 'ntt' noise estimator
         self.profile = profile  # 'd'-source profile (qresp._source_profile)
         self.dtype = dtype      # SHT engine dtype (None = f64; np.float32 in production)
+        # non-default engine dtype enters every persistent cache name and the hashdict:
+        # f32 and f64 products sharing a cacher must never serve each other
+        self._ctag = '' if dtype is None else '_' + np.dtype(dtype).name
         # device-side memo in front of the persistent cacher, so repeated get_sim_qlm
         # calls (RDN0/qecl loops) return the on-device array without a host round-trip
         self._dev_memo = {}
@@ -171,6 +174,7 @@ class QELib:
     def hashdict(self):
         return {'ivfs1': self.ivfs1.hashdict(), 'ivfs2': self.ivfs2.hashdict(),
                 'lmax_ivf': self.lmax_ivf, 'lmax_qlm': self.lmax_qlm,
+                'dtype': self._ctag,
                 **{'clw ' + k: clhash(v) for k, v in self.cls_weight.items()}}
 
     def _get_alm_fn(self, ivfs, idx):
@@ -207,8 +211,8 @@ class QELib:
             # w_L = R^{QE,src} / R^{src-est,src} (reference: plancklens/qest.py:173-181)
             return self._bh_qlm(k, lambda kk: self.get_sim_qlm(kk, idx,
                                                                grad_only=grad_only))
-        fn = 'qlm_%s_%04d' % (k, idx)
-        fnx = 'qlm_%s_%04d' % ('x' + k[1:], idx)
+        fn = 'qlm%s_%s_%04d' % (self._ctag, k, idx)
+        fnx = 'qlm%s_%s_%04d' % (self._ctag, 'x' + k[1:], idx)
         if not self.cacher.is_cached(fn):
             glm, clm = self._eval_key(k, self._get_alm_fn(self.ivfs1, idx),
                                       self._get_alm_fn(self.ivfs2, idx)
@@ -258,7 +262,7 @@ class QELib:
     def get_sim_qlm_mf(self, k, mc_sims):
         """Mean-field estimate: QE average over simulations
         (reference: plancklens/qest.py:206-246)."""
-        fn = 'qlm_mf_%s_%s' % (k, mchash(mc_sims))
+        fn = 'qlm%s_mf_%s_%s' % (self._ctag, k, mchash(mc_sims))
         if not self.cacher.is_cached(fn):
             qlms = self.get_sim_qlm_batch(k, np.asarray(mc_sims))
             self.cacher.cache(fn, np.asarray(jnp.mean(qlms, axis=0)))

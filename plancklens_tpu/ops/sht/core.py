@@ -445,10 +445,10 @@ def _legendre_pair_ns(mode, S, single, nrings, Cp_or_Qp, Cm_or_Qm, sgn_m,
             xc = x_r.astype(rdtype)[:, None]
             R = x_r.shape[0]
 
-            def init_st(sv, sk):
+            def init_st(l0, sv, sk):
                 d_m1 = jnp.zeros((R, mmaxp1), dtype=rdtype)
-                d = jnp.where(l0_m[None, :] == 0, sv, jnp.zeros((R, mmaxp1), rdtype))
-                k = jnp.where(l0_m[None, :] == 0, sk, jnp.zeros((R, mmaxp1), jnp.int32))
+                d = jnp.where(l0[None, :] == 0, sv, jnp.zeros((R, mmaxp1), rdtype))
+                k = jnp.where(l0[None, :] == 0, sk, jnp.zeros((R, mmaxp1), jnp.int32))
                 return d_m1, d, k
 
             def rec(l, st, al, bl, gl, l0, sv, sk):
@@ -522,8 +522,8 @@ def _legendre_pair_ns(mode, S, single, nrings, Cp_or_Qp, Cm_or_Qm, sgn_m,
                                           for i in range(nout))
 
             xs = tuple(reshape_chunks(a) for a in (ls,) + tabs_m + tabs_p)
-            st0 = init_st(svm, skm) + (init_st(svp, skp) if not single
-                                       else init_st(svm, skm))
+            st0 = init_st(l0_m, svm, skm) + (init_st(l0_p, svp, skp) if not single
+                                             else init_st(l0_m, svm, skm))
             _, emits = jax.lax.scan(step_a, st0, xs)
             return tuple(e.reshape((nchunks * CHUNK,) + e.shape[2:])[:lmaxp1]
                          for e in emits)

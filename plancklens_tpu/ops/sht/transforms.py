@@ -123,21 +123,27 @@ class SHT:
         return jax.lax.with_sharding_constraint(
             x, NamedSharding(self.shard['mesh'], self.shard[stage]))
 
-    def _ring_local(self):
+    def _ring_local(self, batch):
         """True when the FFT phase should run as an explicitly ring-local shard_map.
 
         Under mesh sharding the longitude FFTs are per-ring independent; running them
         inside `jax.shard_map` pins each device to whole local rings, which both states
         the design (ring-local FFTs, no mid-phase resharding) and sidesteps XLA-CPU's
         fft thunk rejecting the non-major layouts the global-view partitioner can pick
-        for fused programs. Requires the ring count to divide over the 'm' axis."""
+        for fused programs. Requires the ring count to divide over the 'm' axis AND the
+        batch over the 'sims' axis (shard_map has no padding; uneven batches — e.g. the
+        single data map — fall back to the sharding-constraint path)."""
         if self.shard is None:
             return False
-        return self.geom.nrings % self.shard['mesh'].shape['m'] == 0
+        mesh = self.shard['mesh']
+        if self.geom.nrings % mesh.shape['m'] != 0:
+            return False
+        n_sims = mesh.shape.get('sims', 1)
+        return batch % n_sims == 0
 
     def _fft_to_rings(self, Fp, Fm):
         """_to_rings, ring-local per device when mesh-sharded (see _ring_local)."""
-        if not self._ring_local():
+        if not self._ring_local(Fp.shape[0]):
             return _to_rings(Fp, Fm, self.geom.nphi, self.geom.phi0)
         fn = jax.shard_map(
             lambda a, b: _to_rings(a, b, self.geom.nphi, self.geom.phi0),
@@ -147,7 +153,7 @@ class SHT:
 
     def _fft_from_rings(self, mc):
         """_from_rings, ring-local per device when mesh-sharded (see _ring_local)."""
-        if not self._ring_local():
+        if not self._ring_local(mc.shape[0]):
             return _from_rings(mc, self.mmax, self.geom.phi0)
         fn = jax.shard_map(
             lambda a: _from_rings(a, self.mmax, self.geom.phi0),
