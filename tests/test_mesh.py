@@ -225,3 +225,24 @@ def test_full_sht_roundtrip_sharded_both_phases():
                        atol=1e-9 * np.abs(np.asarray(elm)).max())
     assert np.allclose(np.asarray(b_sh), np.asarray(blm),
                        atol=1e-9 * np.abs(np.asarray(elm)).max())
+
+
+def test_sharded_sht_uneven_batch_falls_back():
+    """A batch that does not divide the 'sims' mesh axis (e.g. the single data map)
+    cannot enter the ring-local shard_map FFT path (shard_map has no padding); it must
+    fall back to the sharding-constraint path and still match the unsharded result."""
+    from plancklens_tpu.parallel import shard_sht
+    lmax = 47
+    geom = gl_geometry(lmax)
+    sht = SHT(geom, lmax)
+    cls = _cls(lmax)
+    tlm = _random_tlm_batch(cls, batch=3, lmax=lmax, seed=13)   # 3 % 2 != 0
+    map_ref = np.asarray(sht.alm2map(jnp.asarray(tlm)))
+    mesh = make_mesh(n_sims=2, n_m=2, devices=jax.devices()[:4])
+    with mesh:
+        ssht = shard_sht(sht, mesh)
+        assert not ssht._ring_local(3) and ssht._ring_local(4)
+        m_sh = jax.jit(ssht.alm2map)(jnp.asarray(tlm))
+        a_sh = jax.jit(ssht.map2alm)(m_sh)
+    assert np.allclose(np.asarray(m_sh), map_ref, atol=1e-11 * np.abs(map_ref).max())
+    assert np.allclose(np.asarray(a_sh), tlm, atol=1e-9 * np.abs(tlm).max())
