@@ -8,8 +8,15 @@ import numpy as np
 
 
 def clhash(cl, dtype=np.float16):
-    """sha1 of an array cast to low precision (machine-independent)."""
-    return hashlib.sha1(np.ascontiguousarray(np.asarray(cl).astype(dtype))).hexdigest()
+    """sha1 of an array cast to low precision (machine-independent).
+
+    Values beyond the f16 range saturate to inf in the cast — deterministic and
+    hash-stable (the reference casts the same way, plancklens/utils.py:115-124), so
+    the overflow warning is suppressed rather than meaningful.
+    """
+    with np.errstate(over='ignore'):
+        return hashlib.sha1(
+            np.ascontiguousarray(np.asarray(cl).astype(dtype))).hexdigest()
 
 
 def mchash(mc_idxs):
