@@ -23,7 +23,11 @@ from functools import partial
 from scipy.special import gammaln
 
 _TABLE_CACHE = {}
-_TABLE_CACHE_MAX = 8
+# a full pipeline touches ~10 distinct (lmax, spin, grid) table sets (T/P filters, QE
+# legs at two band limits, the output transform, coarse preconditioner grids); the
+# default holds them all without eviction thrash (each set is ~50 MB at lmax 2048 —
+# host-side numpy, well within RAM). PLK_TABLE_CACHE overrides.
+_TABLE_CACHE_MAX = int(__import__('os').environ.get('PLK_TABLE_CACHE', 16))
 
 
 def clear_cache():
