@@ -1,0 +1,145 @@
+"""Coverage for public components the suite did not yet exercise directly:
+CinvKK (kappa-map Wiener filter, reference opfilt_kk), full low-l template
+marginalisation (template_uptolmin + extra templates in NinvFilterT), the
+sim-library combinators (SimLibShuffle / SimLibAdd, reference sims/utils.py),
+cacher_pk, and the small cls utilities (arr2cldict, smooth_map)."""
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import plancklens_tpu
+from plancklens_tpu.utils import camb_clfile, cli, alm as ualm
+from plancklens_tpu.ops.sht import SHT, gl_geometry
+
+LMAX = 32
+
+
+def _clpp(lmax):
+    return camb_clfile(os.path.join(plancklens_tpu.DATAPATH, 'cls',
+                                    'FFP10_wdipole_lenspotentialCls.dat'),
+                       lmax=lmax)['pp']
+
+
+def test_cinv_kk_homogeneous_matches_isotropic():
+    """On a homogeneous full-sky system the KK solve is diagonal: the Wiener solution
+    equals clkk/(clkk + N) kappa_obs, i.e. apply_ivf returns 1/(clkk + N) kappa_obs
+    (reference: plancklens/qcinv/opfilt_kk.py)."""
+    from plancklens_tpu.models.cinv import CinvKK, p2k_fl
+    geom = gl_geometry(LMAX)
+    clpp = _clpp(LMAX)
+    clkk = p2k_fl(LMAX) ** 2 * clpp
+    omega = np.outer(geom.weight, np.full(geom.nphi, 2. * np.pi / geom.nphi))
+    # homogeneous pixel noise with kappa-scale variance so neither term dominates
+    nlev2_st = np.mean(clkk[LMAX // 2:])          # per-steradian noise power
+    ninv = omega / nlev2_st
+    sht = SHT(geom, LMAX)
+    rng = np.random.RandomState(2)
+    ls, ms = ualm._lm_indices(LMAX)
+    kobs = (rng.standard_normal(len(ls)) + 1j * rng.standard_normal(len(ls))) \
+        * np.sqrt(np.maximum(clkk, 0.))[ls]
+    kobs = np.where(ms == 0, kobs.real, kobs).astype(complex)
+    kmap = np.asarray(sht.alm2map(jnp.asarray(kobs)))
+    cinv = CinvKK(LMAX, geom, clpp, np.ones(LMAX + 1), ninv, eps_min=1e-9,
+                  marge_monopole=False, marge_dipole=False)
+    ivf = np.asarray(cinv.apply_ivf(kmap))[0]
+    expect = cli(clkk + nlev2_st)[ls] * kobs
+    sel = ls >= 1
+    err = np.abs(ivf - expect)[sel].max() / np.abs(expect)[sel].max()
+    assert err < 1e-5, err
+
+
+def test_template_uptolmin_full_lowl_marginalisation():
+    """template_uptolmin(geom, lmin) gives (lmin+1)^2 maps spanning all l <= lmin
+    modes; plugged into NinvFilterT as extra templates, the filtered map is exactly
+    orthogonal to every one of them (full low-l marginalisation, reference
+    template_removal.template_uptolmin)."""
+    from plancklens_tpu.models.cinv import NinvFilterT, template_uptolmin
+    geom = gl_geometry(LMAX)
+    lmin = 3
+    tmpl = template_uptolmin(geom, lmin)
+    assert tmpl.shape[0] == (lmin + 1) ** 2
+    # the maps really span l <= lmin: analysing any of them gives no power above lmin
+    sht = SHT(geom, LMAX)
+    a = np.asarray(sht.map2alm(jnp.asarray(tmpl[5][None])))[0]
+    ls, _ = ualm._lm_indices(LMAX)
+    assert np.abs(a[ls > lmin]).max() < 1e-10 * np.abs(a).max()
+    omega = np.outer(geom.weight, np.full(geom.nphi, 2. * np.pi / geom.nphi))
+    sig = (30. / 60. / 180. * np.pi) / np.sqrt(omega)
+    ninv = (1. / sig ** 2) * (np.abs(np.cos(geom.theta))[:, None] > 0.2)
+    filt = NinvFilterT(geom, ninv, np.ones(LMAX + 1), marge_monopole=False,
+                       marge_dipole=False, templates=list(tmpl))
+    rng = np.random.RandomState(4)
+    m = rng.standard_normal((1, geom.nrings, geom.nphi))
+    out = np.asarray(filt.apply_map(jnp.asarray(m)))[0]
+    # out is per-steradian N^-1-weighted: orthogonality is the plain pixel dot
+    # against the templates times the pixel area
+    coeffs = np.einsum('trp,rp->t', tmpl, out * omega)
+    scale = np.einsum('trp,rp->t', np.abs(tmpl), np.abs(out) * omega)
+    assert np.all(np.abs(coeffs) < 1e-8 * np.maximum(scale, 1e-300)), coeffs / scale
+
+
+class _ConstLib:
+    def __init__(self, val):
+        self.val = val
+
+    def hashdict(self):
+        return {'v': float(self.val)}
+
+    def get_sim_tlm(self, idx):
+        return np.full(3, self.val * (idx + 100.))
+
+
+def test_sim_lib_combinators():
+    """SimLibShuffle remaps indices (the ds/ss mechanism); SimLibAdd adds weighted
+    libraries on sim / data indices only (the reference's add_sim/add_dat 'dcl'
+    extra-power mechanism, plancklens/sims/utils.py:20-91)."""
+    from plancklens_tpu.models.sims import SimLibShuffle, SimLibAdd
+    base = _ConstLib(1.)
+    sh = SimLibShuffle(base, {0: 7, 1: -1})
+    assert np.allclose(sh.get_sim_tlm(0), base.get_sim_tlm(7))
+    assert np.allclose(sh.get_sim_tlm(1), base.get_sim_tlm(-1))
+    assert np.allclose(sh.get_sim_tlm(5), base.get_sim_tlm(5))   # identity elsewhere
+    extra = _ConstLib(0.5)
+    add_sims = SimLibAdd(base, extra, w_a=1., w_b=2., sims_only=True)
+    assert np.allclose(add_sims.get_sim_tlm(3),
+                       base.get_sim_tlm(3) + 2. * extra.get_sim_tlm(3))
+    assert np.allclose(add_sims.get_sim_tlm(-1), base.get_sim_tlm(-1))   # data: no add
+    add_dat = SimLibAdd(base, extra, dat_only=True)
+    assert np.allclose(add_dat.get_sim_tlm(3), base.get_sim_tlm(3))
+    assert np.allclose(add_dat.get_sim_tlm(-1),
+                       base.get_sim_tlm(-1) + extra.get_sim_tlm(-1))
+
+
+def test_cacher_pk_roundtrip(tmp_path):
+    from plancklens_tpu.utils.cachers import cacher_pk
+    c = cacher_pk(str(tmp_path))
+    obj = {'a': np.arange(5.), 'b': (1, 'two')}
+    assert not c.is_cached('x/y')
+    c.cache('x/y', obj)
+    assert c.is_cached('x/y')
+    back = c.load('x/y')
+    assert np.allclose(back['a'], obj['a']) and back['b'] == obj['b']
+
+
+def test_arr2cldict_roundtrip_and_smooth_map():
+    from plancklens_tpu.utils.cls import arr2cldict, cldict2arr, smooth_map
+    lmax = 16
+    cls = {'tt': np.arange(1., lmax + 2.), 'ee': 0.5 * np.arange(1., lmax + 2.),
+           'te': 0.1 * np.ones(lmax + 1)}
+    back = arr2cldict(cldict2arr(cls))
+    for k, v in cls.items():
+        assert np.allclose(back[k], v), k
+    assert 'bb' not in back   # identically-zero entries dropped
+    # smoothing: an l-eigenmode map is scaled by exp(-l(l+1) sigma^2 / 2)
+    geom = gl_geometry(lmax)
+    sht = SHT(geom, lmax)
+    ls, _ = ualm._lm_indices(lmax)
+    alm = jnp.asarray(np.where(ls == 8, 1. + 0j, 0.))[None]
+    m = np.asarray(sht.alm2map(alm))[0]
+    sigma = 0.05
+    sm = smooth_map(m, geom, sigma, lmax=lmax)
+    expect = np.exp(-0.5 * 8 * 9 * sigma ** 2)
+    ratio = np.asarray(sm).ravel() @ m.ravel() / (m.ravel() @ m.ravel())
+    assert abs(ratio - expect) < 1e-6 * expect, (ratio, expect)
