@@ -224,3 +224,37 @@ def test_dresponse_linearity():
         acc += get_dresponse_dlncl('ptt', l, 'tt', lmax, 'p', cls_tt, cls_tt, fal,
                                    lmax_out=lmax)[0]
     assert np.allclose(acc[2:], R[2:], rtol=1e-9), np.max(np.abs(acc[2:] / R[2:] - 1))
+
+
+def test_fundamental_key_grammar_parity():
+    """Every fundamental estimator key of the reference grammar (reference:
+    plancklens/qest.py:109-111) builds through get_qes, with the pab sub-block
+    term counts matching the reference's qe_proj + qe_simplify exactly (verified
+    against the reference package run side by side, 2026-08-18) — including the
+    physically-empty 'ptb'/'xtb' blocks: the B-projection of the TE-sourced
+    second leg cancels in that leg ordering (the T x B information lives in
+    'pbt'/'xbt'), and the reference returns the empty list there too."""
+    import os
+    import plancklens_tpu
+    from plancklens_tpu.models import qresp
+    from plancklens_tpu.utils import camb_clfile
+    lmax = 64
+    cls = camb_clfile(os.path.join(plancklens_tpu.DATAPATH, 'cls',
+                                   'FFP10_wdipole_lensedCls.dat'), lmax=lmax)
+    keys_fund = ['ptt', 'xtt', 'p_p', 'x_p', 'p', 'x', 'stt', 's', 'ftt', 'f_p',
+                 'f', 'dtt', 'ntt', 'a_p',
+                 'pte', 'pet', 'ptb', 'pbt', 'pee', 'peb', 'pbe', 'pbb',
+                 'xte', 'xet', 'xtb', 'xbt', 'xee', 'xeb', 'xbe', 'xbb']
+    empty_by_parity = {'ptb', 'xtb'}
+    tr = np.ones(lmax + 1)
+    for k in keys_fund:
+        qes = qresp.get_qes(k, lmax, cls, transf=tr)
+        if k in empty_by_parity:
+            assert len(qes) == 0, k
+        else:
+            assert len(qes) > 0, k
+    # reference-matched sub-block term counts (same-cls side-by-side run)
+    ref_counts = {'ptb': 0, 'pbt': 4, 'pte': 2, 'pet': 4,
+                  'peb': 8, 'pbe': 8, 'pbb': 8}
+    for k, n in ref_counts.items():
+        assert len(qresp.get_qes(k, lmax, cls)) == n, k
