@@ -114,6 +114,12 @@ qcls_dd = QeClLib(qlms_dd, qlms_dd, mc_sims_bias)
 qcls_ds = QeClLib(qlms_ds, qlms_ds, np.array([]))
 qcls_ss = QeClLib(qlms_ss, qlms_ss, np.array([]))
 
+# cross-spectra of the reconstructions with the known input phi of each lensed sim
+# (consumed by bandpowers.Binner.get_ampl_x_input; the reference's optional
+# qlms_x_in hook, which it only wires on NERSC)
+from plancklens_tpu.models.qecl import InputPlmLib
+qlms_x_in = QeClLib(qlms_dd, InputPlmLib(cmb_len, lmax_qlm), np.array([]))
+
 # -------------------------------------------------------- response / N0 / N1
 fal = {'tt': np.nan_to_num(ftl / (cl_len['tt'][:lmax_ivf + 1]
                                   + (nlev_t / 60. / 180. * np.pi) ** 2 / transf ** 2)),

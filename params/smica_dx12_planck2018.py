@@ -172,6 +172,12 @@ qcls_dd = _Lazy(lambda: QeClLib(qlms_dd, qlms_dd, mc_sims_mf_dd))
 qcls_ds = _Lazy(lambda: QeClLib(qlms_ds, qlms_ds, mc_sims_mf_ds))
 qcls_ss = _Lazy(lambda: QeClLib(qlms_ss, qlms_ss, mc_sims_mf_ss))
 
+# cross-spectra with the FFP10 input phi (sim_plm_*.fits products), the optional
+# qlms_x_in hook of bandpowers.get_ampl_x_input
+from plancklens_tpu.models.qecl import InputPlmLib
+qlms_x_in = _Lazy(lambda: QeClLib(qlms_dd, InputPlmLib(sims_alm, lmax_qlm),
+                                  np.array([])))
+
 # ---------------------------------- response / N1 (data-independent), N0 (per-sim)
 fal = {'tt': np.nan_to_num(ftl_rs / (cl_len['tt'][:lmax_ivf + 1]
                                      + (nlev_t / 60. / 180. * np.pi) ** 2

@@ -269,14 +269,21 @@ class Binner:
         return self._percl_cov(lambda idx: 0., mc_sims_dd)
 
     def get_ampl_x_input(self, mc_sims=None):
-        """Cross-correlation amplitude to the input lensing maps."""
+        """Cross-correlation amplitude to the input lensing maps.
+
+        Uses the parfile's qlms_x_in cross-spectra library (QE leg x input-phi leg,
+        e.g. QeClLib(qlms_dd, qecl.InputPlmLib(...), []); reference:
+        plancklens/bandpowers.py:347-360); the cross fsky (QE-mask product x full
+        sky) normalises the masked attenuation."""
         qlmi = self.parfile.qlms_x_in
         if mc_sims is None:
             mc_sims = np.unique(np.concatenate([self.parfile.mc_sims_var,
                                                 self.parfile.mc_sims_bias]))
         xin = stats(self.nbins)
-        qnorm = cli(self.parfile.qresp_dd.get_response(self.k1, self.ksource))
+        fsky = getattr(qlmi, 'fsky12', 1.)
+        qnorm = cli(self.parfile.qresp_dd.get_response(self.k1, self.ksource)) / fsky
         for idx in mc_sims:
-            xin.add(self._get_binnedcl(qnorm * qlmi.get_sim_qcl(self.k1, int(idx)))
-                    / self.fid_bandpowers)
+            xin.add(self._get_binnedcl(
+                qnorm * np.asarray(qlmi.get_sim_qcl(self.k1, int(idx))))
+                / self.fid_bandpowers)
         return xin

@@ -140,12 +140,18 @@ class QeClLib:
             base = ivfs
             while not hasattr(base, 'get_fmask') and hasattr(base, 'ivfs'):
                 base = base.ivfs  # unwrap IVFFtl / IVFShuffle-style views
-            if not hasattr(base, 'get_fmask'):
-                return ones
-            ms.append(np.asarray(base.get_fmask()))
+            # a maskless leg (e.g. the input-phi library of qlms_x_in) counts as the
+            # full sky; only when NO leg carries a mask are all fskies trivially 1
+            ms.append(np.asarray(base.get_fmask()) if hasattr(base, 'get_fmask')
+                      else None)
             geom = getattr(getattr(base, 'cinv_t', None), 'geom', None) or geom
-        if not all(m.shape == ms[0].shape for m in ms):
+        shapes = {m.shape for m in ms if m is not None}
+        if not shapes:
             return ones
+        if len(shapes) > 1:
+            return ones
+        shape = shapes.pop()
+        ms = [np.ones(shape) if m is None else m for m in ms]
         if geom is not None:  # quadrature-weighted mean over the ring grid
             w = np.outer(np.asarray(geom.weight), np.full(ms[0].shape[-1],
                                                           2. * np.pi / ms[0].shape[-1]))
@@ -213,6 +219,44 @@ class QeClLib:
         if mfB is not None:
             qB = qB - mfB[None, :]
         return np.asarray(ualm.alm2cl(qA, self.lmax_qlm, alm2=qB))
+
+
+class InputPlmLib:
+    """qlm-library view over a sim library's input lensing potentials, the B leg of a
+    `qlms_x_in` cross-spectra library (role of the reference's optional qlms_x_in
+    parfile attribute, consumed by bandpowers.get_ampl_x_input / run_qlms stage 3 —
+    the reference ships no in-tree implementation of it)."""
+
+    def __init__(self, sim_lib, lmax_qlm):
+        self.sim_lib = sim_lib      # needs get_sim_plm
+        self.lmax_qlm = lmax_qlm
+        self.ivfs1 = self.ivfs2 = _FullSkyLeg()
+
+    def hashdict(self):
+        return {'sim_lib': self.sim_lib.hashdict(), 'lmax_qlm': self.lmax_qlm,
+                'input_plm': True}
+
+    def get_sim_qlm(self, k, idx, grad_only=False):
+        import jax.numpy as jnp
+        plm = jnp.asarray(self.sim_lib.get_sim_plm(int(idx)))
+        if k[0] == 'x':
+            return jnp.zeros_like(plm)[..., :ualm.getsize(self.lmax_qlm)]
+        return ualm.alm_copy(plm, ualm.getlmax(plm.shape[-1]), self.lmax_qlm)
+
+    def get_sim_qlm_mf(self, k, mc_sims):
+        import jax.numpy as jnp
+        return jnp.zeros(ualm.getsize(self.lmax_qlm), dtype=complex)
+
+    def get_sim_qlm_batch(self, k, idxs):
+        import jax.numpy as jnp
+        return jnp.stack([self.get_sim_qlm(k, int(i)) for i in np.atleast_1d(idxs)])
+
+
+class _FullSkyLeg:
+    """Marker leg with no mask: QeClLib._fskies treats it as the full sky."""
+
+    def hashdict(self):
+        return {'fullsky': True}
 
 
 class QeClAverage:

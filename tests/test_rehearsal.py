@@ -106,6 +106,13 @@ def test_planck_rehearsal_recovers_clpp():
     assert np.all(np.abs(ratio - 1.) < 0.2), ratio
     # and it is an unambiguous detection of lensing (measured 20-42 sigma per bin)
     assert np.all(ratio / sig_x > 10.), (ratio, sig_x)
+    # the same statement through the library path: the parfile's qlms_x_in hook
+    # (QeClLib over qecl.InputPlmLib) consumed by Binner.get_ampl_x_input — the
+    # reference defines this hook but ships no in-tree wiring of it
+    amp = binner.get_ampl_x_input(mc_sims=par.mc_sims_var)
+    amp_mean, amp_sig = amp.mean(), amp.sigmas_on_mean()
+    assert np.all(np.abs(amp_mean - 1.) < 0.25), amp_mean
+    assert np.all(amp_mean / amp_sig > 10.), (amp_mean, amp_sig)
 
     # ---- (2) auto-spectrum debias-chain consistency ------------------------------
     # Monte-Carlo ensemble of identically-debiased sims: lensed with the fiducial

@@ -179,6 +179,10 @@ def test_smica_parfile_end2end(tmp_path):
     assert np.all(np.abs(ratio - 1.) < 0.3), ratio
     # and lensing is detected through the production wiring
     assert np.all(ratio / sig_x > 4.), (ratio, sig_x)
+    # the same statement through the parfile's qlms_x_in hook (InputPlmLib reading
+    # the sim_plm FITS products) and Binner.get_ampl_x_input
+    amp = binner_x.get_ampl_x_input(mc_sims=par.mc_sims_var)
+    assert np.all(np.abs(amp.mean() - 1.) < 0.3), amp.mean()
 
     # ---- auto-spectrum debias-chain consistency ----------------------------------
     st = stats(nbins)
