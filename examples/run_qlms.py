@@ -38,7 +38,7 @@ def main():
     p.add_argument('-k', dest='keys', nargs='+', default=['ptt'],
                    help='QE keys to compute')
     p.add_argument('--stages', default='filt,qe,mf,qcl,nhl',
-                   help='comma list of stages: filt, qe, mf, qcl, nhl')
+                   help='comma list of stages: filt, qe, mf, xin, qcl, nhl')
     p.add_argument('--mesh', action='store_true',
                    help='shard the sims batch over all devices')
     p.add_argument('--cpu', action='store_true',
@@ -78,7 +78,12 @@ def main():
 
     if 'filt' in stages:
         t0 = time.time()
-        t, e, b = par.ivfs.get_sim_teblm_batch(idxs)
+        if hasattr(par.ivfs, 'get_sim_teblm_batch'):
+            t, e, b = par.ivfs.get_sim_teblm_batch(idxs)
+        else:   # per-index filters (cinv chains, IVFFtl views): same fallback as QELib
+            t = [par.ivfs.get_sim_tlm(int(i)) for i in idxs]
+            _ = [par.ivfs.get_sim_elm(int(i)) for i in idxs]
+            _ = [par.ivfs.get_sim_blm(int(i)) for i in idxs]
         jax.block_until_ready(t)
         print('[filt] %d sims filtered in %.2fs' % (len(idxs), time.time() - t0))
 
@@ -92,10 +97,23 @@ def main():
     if 'mf' in stages:
         for k in args.keys:
             t0 = time.time()
-            mf1 = par.qlms_dd.get_sim_qlm_mf(k, par.mc_sims_mf_dd[0::2])
-            mf2 = par.qlms_dd.get_sim_qlm_mf(k, par.mc_sims_mf_dd[1::2])
-            jax.block_until_ready(mf2)
-            print('[mf]   %s: two split-half mean fields in %.2fs' % (k, time.time() - t0))
+            halves = [h for h in (par.mc_sims_mf_dd[0::2], par.mc_sims_mf_dd[1::2])
+                      if len(h)]   # tiny-nsims configs can leave a half empty
+            mfs = [par.qlms_dd.get_sim_qlm_mf(k, h) for h in halves]
+            if mfs:
+                jax.block_until_ready(mfs[-1])
+            print('[mf]   %s: %d split-half mean fields in %.2fs'
+                  % (k, len(mfs), time.time() - t0))
+
+    if 'xin' in stages and hasattr(par, 'qlms_x_in'):
+        # cross-spectra with the input lensing maps (reference stage 3,
+        # run_qlms.py:78-86; optional exactly as there)
+        for k in args.keys:
+            t0 = time.time()
+            for idx in idxs:
+                par.qlms_x_in.get_sim_qcl(k, int(idx))
+            print('[xin]  %s: %d crosses with input phi in %.2fs'
+                  % (k, len(idxs), time.time() - t0))
 
     if 'qcl' in stages:
         for k in args.keys:

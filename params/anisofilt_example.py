@@ -109,6 +109,7 @@ qlms_ss = QELib(ivfs, ivfs_s, cl_weight, lmax_ivf, lmax_qlm, cacher=_cacher('qlm
 
 mc_sims_bias = np.arange(nsims // 5, dtype=int)
 mc_sims_var = np.arange(nsims // 5, nsims, dtype=int)
+mc_sims_mf_dd = mc_sims_bias    # parfile contract: the driver's mf stage reads this
 
 qcls_dd = QeClLib(qlms_dd, qlms_dd, mc_sims_bias)
 qcls_ds = QeClLib(qlms_ds, qlms_ds, np.array([]))
