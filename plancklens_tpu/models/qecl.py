@@ -237,10 +237,10 @@ class InputPlmLib:
                 'input_plm': True}
 
     def get_sim_qlm(self, k, idx, grad_only=False):
-        import jax.numpy as jnp
         plm = jnp.asarray(self.sim_lib.get_sim_plm(int(idx)))
-        if k[0] == 'x':
-            return jnp.zeros_like(plm)[..., :ualm.getsize(self.lmax_qlm)]
+        if k[0] == 'x':   # no input curl: the cross of a curl QE with input is zero
+            return jnp.zeros(plm.shape[:-1] + (ualm.getsize(self.lmax_qlm),),
+                             dtype=plm.dtype)
         return ualm.alm_copy(plm, ualm.getlmax(plm.shape[-1]), self.lmax_qlm)
 
     def get_sim_qlm_mf(self, k, mc_sims):
