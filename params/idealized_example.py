@@ -31,14 +31,17 @@ NSIMS = int(os.environ.get('PLK_NSIMS', 64))
 
 # optional persistent product store: set PLK_CACHE_DIR to make every expensive product
 # (QE alms, spectra, responses) restartable across runs (reference role: the lib_dir
-# filesystem caches of params/idealized_example.py); unset -> in-memory caches
+# filesystem caches of params/idealized_example.py); unset -> in-memory caches.
+# The cache root carries a configuration token so DIFFERENT configurations sharing one
+# PLK_CACHE_DIR can never load each other's products (the hash_check guard's role).
 _CACHE_DIR = os.environ.get('PLK_CACHE_DIR')
+_CFG = 'ideal_l%d_lq%d_n%d' % (LMAX_IVF, LMAX_QLM, NSIMS)
 
 
 def _cacher(sub):
     if _CACHE_DIR:
         from plancklens_tpu.utils.cachers import cacher_npy
-        return cacher_npy(os.path.join(_CACHE_DIR, sub))
+        return cacher_npy(os.path.join(_CACHE_DIR, _CFG, sub))
     return None
 
 cls_path = os.path.join(plancklens_tpu.DATAPATH, 'cls')
