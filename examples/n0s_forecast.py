@@ -20,7 +20,10 @@ import argparse
 import os
 
 import jax
-jax.config.update('jax_enable_x64', True)   # the Wigner-d recursions want f64
+# pure-spectral workload: pin the CPU backend (the default platform on a TPU-relay
+# host would block at backend init) and enable f64 for the Wigner-d recursions
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_enable_x64', True)
 import numpy as np
 
 import plancklens_tpu

@@ -348,10 +348,11 @@ class DelensingForecast:
         from .n1 import N1Lib
         lmax = self.lmax_cmb
         zero = np.zeros(lmax + 1)
+        kwargs = dict(self._n1_kwargs)
+        kwargs.setdefault('lmaxphi', min(2 * self.lmax_cmb, 2500))
         lib = N1Lib(weights.get('tt', zero)[:lmax + 1],
                     weights.get('te', zero)[:lmax + 1],
-                    weights.get('ee', zero)[:lmax + 1],
-                    lmaxphi=min(2 * self.lmax_cmb, 2500), **self._n1_kwargs)
+                    weights.get('ee', zero)[:lmax + 1], **kwargs)
         Lmax = self._n1_lmax
         if self.key == 'p':   # joint 3x3 filtering: matrix-weighted kernel sum
             n1 = lib.get_n1_jtp('p', 'p', pp_resid_true, wmat, Lmax)

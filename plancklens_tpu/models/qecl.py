@@ -237,18 +237,16 @@ class InputPlmLib:
                 'input_plm': True}
 
     def get_sim_qlm(self, k, idx, grad_only=False):
-        plm = jnp.asarray(self.sim_lib.get_sim_plm(int(idx)))
         if k[0] == 'x':   # no input curl: the cross of a curl QE with input is zero
-            return jnp.zeros(plm.shape[:-1] + (ualm.getsize(self.lmax_qlm),),
-                             dtype=plm.dtype)
+            # (no sim read — fabricating zeros must not cost a full plm load per sim)
+            return jnp.zeros(ualm.getsize(self.lmax_qlm), dtype=complex)
+        plm = jnp.asarray(self.sim_lib.get_sim_plm(int(idx)))
         return ualm.alm_copy(plm, ualm.getlmax(plm.shape[-1]), self.lmax_qlm)
 
     def get_sim_qlm_mf(self, k, mc_sims):
-        import jax.numpy as jnp
         return jnp.zeros(ualm.getsize(self.lmax_qlm), dtype=complex)
 
     def get_sim_qlm_batch(self, k, idxs):
-        import jax.numpy as jnp
         return jnp.stack([self.get_sim_qlm(k, int(i)) for i in np.atleast_1d(idxs)])
 
 

@@ -24,10 +24,20 @@ from scipy.special import gammaln
 
 _TABLE_CACHE = {}
 # a full pipeline touches ~10 distinct (lmax, spin, grid) table sets (T/P filters, QE
-# legs at two band limits, the output transform, coarse preconditioner grids); the
-# default holds them all without eviction thrash (each set is ~50 MB at lmax 2048 —
-# host-side numpy, well within RAM). PLK_TABLE_CACHE overrides.
+# legs at two band limits, the output transform, coarse preconditioner grids). Sets are
+# big: at lmax 2048 one f64 set is ~175 MB host-side (alpha/beta/gamma ~34 MB each,
+# seed_v ~50 MB, seed_k ~25 MB) and the lazily materialised device flavour doubles
+# that, so the cap is a BYTE budget (PLK_TABLE_CACHE_MB, default 1536 — ten f32 sets
+# or four f64 sets with their device copies), LRU-evicted, with a secondary count cap
+# (PLK_TABLE_CACHE, default 16) against many tiny sets.
 _TABLE_CACHE_MAX = int(__import__('os').environ.get('PLK_TABLE_CACHE', 16))
+_TABLE_CACHE_MB = float(__import__('os').environ.get('PLK_TABLE_CACHE_MB', 1536))
+
+
+def _set_nbytes(out):
+    """Approximate footprint of one cached table set: host numpy + the device
+    flavour that _tabs_for materialises on first eager use."""
+    return 2 * sum(v.nbytes for v in out['np'].values())
 
 
 def clear_cache():
@@ -52,7 +62,9 @@ def recursion_tables(lmax, mmax, n, theta, grid_token=None, dtype=np.float64):
     if grid_token is not None:
         key = (lmax, mmax, n, grid_token, np.dtype(dtype).str)
         if key in _TABLE_CACHE:
-            return _TABLE_CACHE[key]
+            out = _TABLE_CACHE.pop(key)   # re-insert: LRU order for the byte budget
+            _TABLE_CACHE[key] = out
+            return out
     ls = np.arange(lmax + 1, dtype=np.float64)[:, None]
     ms = np.arange(mmax + 1, dtype=np.float64)[None, :]
     l0 = np.maximum(np.abs(n), np.arange(mmax + 1)).astype(np.int64)
@@ -97,8 +109,11 @@ def recursion_tables(lmax, mmax, n, theta, grid_token=None, dtype=np.float64):
                    x=np.cos(np.asarray(theta, dtype=np.float64)).astype(dtype))
     out = dict(S=S, np={k: v for k, v in np_tabs.items()}, dev=None)
     if key is not None:
-        if len(_TABLE_CACHE) >= _TABLE_CACHE_MAX:
-            _TABLE_CACHE.pop(next(iter(_TABLE_CACHE)))
+        budget = _TABLE_CACHE_MB * 1e6
+        total = _set_nbytes(out) + sum(_set_nbytes(o) for o in _TABLE_CACHE.values())
+        while _TABLE_CACHE and (len(_TABLE_CACHE) >= _TABLE_CACHE_MAX
+                                or total > budget):
+            total -= _set_nbytes(_TABLE_CACHE.pop(next(iter(_TABLE_CACHE))))
         _TABLE_CACHE[key] = out
     return out
 
@@ -265,11 +280,11 @@ def _sym_split(theta, grid_token=None):
     return out
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 20, 21))
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 20, 21, 22))
 def _legendre_pair_ns(mode, S, single, nrings, Cp_or_Qp, Cm_or_Qm, sgn_m,
                       a_m, b_m, g_m, l0_m, sv_m, sk_m,
                       a_p, b_p, g_p, l0_p, sv_p, sk_p, x,
-                      mxu=False, chunk=1):
+                      mxu=False, chunk=1, anal_blk=0):
     """Fused (-n, +n) Legendre transforms on the northern half of a symmetric grid.
 
     mode 'synth':  Cp (batch, lmax+1, mmax+1) -> Fp (batch, nrings, mmax+1) of the (-n)
@@ -542,10 +557,10 @@ def _legendre_pair_ns(mode, S, single, nrings, Cp_or_Qp, Cm_or_Qm, sgn_m,
         # Default by backend: small blocks on CPU (the block must fit L2: measured
         # lmax-512 anal wall 2.05 s unblocked -> 1.47 s at 32), larger on TPU (fewer
         # accumulator+table passes; roofline at lmax 2048 puts 256 at ~2.6 GB vs the
-        # unblocked 37 GB).
-        blk_env = __import__('os').environ.get('PLK_SHT_ANAL_BLOCK', '')
-        BLK = int(blk_env) if blk_env else \
-            (32 if jax.default_backend() == 'cpu' else 256)
+        # unblocked 37 GB). Resolved in _anal_block() and passed as a STATIC arg so
+        # the jit cache is keyed on it (an env read here would be baked into the
+        # first-compiled executable and silently ignored afterwards).
+        BLK = anal_blk
         if BLK > 0 and nh > BLK:
             npad_r = (-nh) % BLK
             nblk = (nh + npad_r) // BLK
@@ -622,7 +637,7 @@ def _run_pair(mode, data_p, data_m, spin, theta, lmax, grid_token, dtype):
                              tb_m['l0'], tb_m['seed_v'], tb_m['seed_k'],
                              tb_p['alpha'], tb_p['beta'], tb_p['gamma'],
                              tb_p['l0'], tb_p['seed_v'], tb_p['seed_k'], tb_m['x'],
-                             mxu, chunk)
+                             mxu, chunk, _anal_block() if mode == 'anal' else 0)
 
 
 def _dispatch(batch, anal=False):
@@ -648,6 +663,18 @@ def _dispatch(batch, anal=False):
     cenv = os.environ.get('PLK_SHT_CHUNK', '')
     chunk = int(cenv) if cenv else (8 if mxu else 1)
     return mxu, chunk
+
+
+def _anal_block():
+    """Ring-block size for the blocked analysis accumulate (0 disables). Read per
+    call and passed to the jitted kernel as a static arg, so changing
+    PLK_SHT_ANAL_BLOCK mid-process recompiles instead of silently reusing the
+    first-compiled block size."""
+    import os
+    env = os.environ.get('PLK_SHT_ANAL_BLOCK', '')
+    if env:
+        return int(env)
+    return 32 if jax.default_backend() == 'cpu' else 256
 
 
 def _ns_enabled():

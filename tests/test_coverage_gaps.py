@@ -143,3 +143,57 @@ def test_arr2cldict_roundtrip_and_smooth_map():
     expect = np.exp(-0.5 * 8 * 9 * sigma ** 2)
     ratio = np.asarray(sm).ravel() @ m.ravel() / (m.ravel() @ m.ravel())
     assert abs(ratio - expect) < 1e-6 * expect, (ratio, expect)
+
+
+def test_anal_block_env_knob_rekeys_jit_cache(monkeypatch):
+    """PLK_SHT_ANAL_BLOCK is resolved per call and enters the jitted kernel as a
+    static arg: changing it mid-process must recompile (and agree numerically), not
+    silently reuse the first-compiled block size (round-4 review finding)."""
+    from plancklens_tpu.ops.sht import core
+    geom = gl_geometry(48)   # 49 rings: blocked path active at small blocks
+    sht = SHT(geom, 48)
+    rng = np.random.RandomState(3)
+    m = rng.standard_normal((1, geom.nrings, geom.nphi))
+    monkeypatch.setenv('PLK_SHT_ANAL_BLOCK', '8')
+    n0 = core._legendre_pair_ns._cache_size()
+    a8 = np.asarray(sht.map2alm(m))
+    n1 = core._legendre_pair_ns._cache_size()
+    monkeypatch.setenv('PLK_SHT_ANAL_BLOCK', '16')
+    a16 = np.asarray(sht.map2alm(m))
+    n2 = core._legendre_pair_ns._cache_size()
+    assert n1 > n0 and n2 > n1, (n0, n1, n2)   # each block size is its own program
+    assert np.allclose(a8, a16, rtol=1e-10, atol=1e-12)
+
+
+def test_n1_kwargs_can_override_lmaxphi():
+    """n1_kwargs is advertised as 'feed N1Lib'; lmaxphi is a first-class N1Lib knob
+    and must override the forecast default instead of raising a duplicate-keyword
+    TypeError (round-4 review finding)."""
+    from plancklens_tpu.models import n0s
+    unl = camb_clfile(os.path.join(plancklens_tpu.DATAPATH, 'cls',
+                                   'FFP10_wdipole_lenspotentialCls.dat'), lmax=250)
+    _, N0_u, N1_b, N1_u = n0s.get_N0_iter(
+        'p_p', 1.0, 1.4, 2.0, unl, lmin_ivf=30, lmax_ivf=200, itermax=0,
+        lmax_qlm=100, include_n1=True, n1_lmax=80,
+        n1_kwargs={'lmaxphi': 300, 'dL': 40})
+    assert np.all(np.isfinite(N1_u[0])) and np.any(N1_u[0][30:80] > 0.)
+
+
+def test_input_plm_lib_curl_zeros_skip_the_sim_read():
+    """The cross of a curl QE with the input (gradient) potential is identically
+    zero; fabricating that zero array must not cost a full input-plm load per sim
+    (round-4 review finding)."""
+    from plancklens_tpu.models.qecl import InputPlmLib
+
+    class _NoRead:
+        def get_sim_plm(self, idx):
+            raise AssertionError('curl key must not read the input plm')
+
+        def hashdict(self):
+            return {}
+
+    lib = InputPlmLib(_NoRead(), lmax_qlm=16)
+    out = np.asarray(lib.get_sim_qlm('xtt', 0))
+    assert out.shape == (ualm.getsize(16),) and not out.any()
+    batch = np.asarray(lib.get_sim_qlm_batch('x_p', [0, 1]))
+    assert batch.shape == (2, ualm.getsize(16)) and not batch.any()
