@@ -234,6 +234,64 @@ class CMBLenLib:
         return self.get_sim_eblm(idx)[1]
 
 
+class CMBUnlLibFixedPhi(CMBUnlLib):
+    """Unlensed CMB sims sharing ONE lensing potential across all indices
+    (reference: plancklens/sims/cmbs.py:236-261 sims_cmb_unl_fixed_phi): the phi slot
+    of every simulation returns the same plm — by default the base library's
+    sim-`phi_idx` draw, or an explicitly supplied `plm` — while the other fields keep
+    their per-index draws.  The standard configuration for mean-field and
+    response-by-simulation studies, where the deflection field must be common to the
+    whole ensemble.
+
+    Note the reference convention is kept: the non-phi fields are drawn with their
+    usual coloring (including the component that would correlate them with *their own*
+    per-index phi), so their cross-correlation with the fixed phi is broken by
+    construction.
+    """
+
+    def __init__(self, cls, lmax, fields=('t', 'e', 'b', 'p'), seed=0,
+                 plm=None, phi_idx=0):
+        super().__init__(cls, lmax, fields=fields, seed=seed)
+        assert 'p' in self.fields, self.fields
+        self._phi_idx = int(phi_idx)
+        self._external_plm = plm is not None
+        if plm is not None:
+            plm = jnp.asarray(plm)
+            assert plm.shape == (ualm.getsize(lmax),), (plm.shape, lmax)
+            self._plm_fix = plm
+        else:
+            self._plm_fix = super().get_sim_alms(self._phi_idx)[self._field_index('p')]
+
+    def hashdict(self):
+        d = super().hashdict()
+        d['fixed_phi'] = clhash(np.abs(np.asarray(self._plm_fix))) \
+            if self._external_plm else ('sim', self._phi_idx)
+        return d
+
+    def get_sim_alms(self, idx):
+        alms = super().get_sim_alms(idx)
+        return alms.at[self._field_index('p')].set(self._plm_fix)
+
+    def get_sim_alms_batch(self, idxs):
+        alms = super().get_sim_alms_batch(idxs)
+        return alms.at[:, self._field_index('p')].set(self._plm_fix[None])
+
+
+class CMBLenLibFixedPhi(CMBLenLib):
+    """Lensed CMB sims with a common deflection field for every index
+    (reference: plancklens/sims/cmbs.py:263-280 sims_cmb_len_fixed_phi): the unlensed
+    library is swapped for :class:`CMBUnlLibFixedPhi`, so every sim is lensed by the
+    SAME potential while the unlensed T/E/B vary.  `plm`, if given, must be at the
+    internal band limit lmax + dlmax."""
+
+    def __init__(self, cls_unl, lmax, geom, fields=('t', 'e', 'b', 'p'), seed=0,
+                 dlmax=128, oversample=4.0, order=9, plm=None, phi_idx=0):
+        super().__init__(cls_unl, lmax, geom, fields=fields, seed=seed, dlmax=dlmax,
+                         oversample=oversample, order=order)
+        self.unl_lib = CMBUnlLibFixedPhi(cls_unl, self.lmax_unl, fields=fields,
+                                         seed=seed, plm=plm, phi_idx=phi_idx)
+
+
 class ExternalAlmLib:
     """Simulation library backed by on-disk alm files, the role of the reference's
     NERSC FFP10 loaders (reference: plancklens/sims/planck2018_sims.py): idx >= 0 loads

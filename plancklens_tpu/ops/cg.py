@@ -3,8 +3,10 @@ r"""Preconditioned conjugate-gradient solver, jittable.
 Replaces the reference's conjugate-directions loop (reference:
 plancklens/qcinv/cd_solve.py:35-107) with a fixed-shape `lax.while_loop` PCG: under jit the
 entire solve — dozens to hundreds of forward ops, each two SHTs — is one XLA program, and
-batches of right-hand sides (sims) run as a leading array axis with per-item convergence
-masking. The reference's multi-preconditioner search panels reduce, for the production
+batches of right-hand sides (sims) run as a leading array axis with a per-item
+convergence criterion (the loop runs until every item is converged; items already
+converged keep taking harmless refinement steps — the batch is lockstep anyway, so
+masking them would save nothing). The reference's multi-preconditioner search panels reduce, for the production
 tr_cg policy, to PCG with a composite (split low-l / high-l) preconditioner.
 """
 from functools import partial

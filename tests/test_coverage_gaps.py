@@ -197,3 +197,38 @@ def test_input_plm_lib_curl_zeros_skip_the_sim_read():
     assert out.shape == (ualm.getsize(16),) and not out.any()
     batch = np.asarray(lib.get_sim_qlm_batch('x_p', [0, 1]))
     assert batch.shape == (2, ualm.getsize(16)) and not batch.any()
+
+
+def test_fixed_phi_sim_libraries():
+    """Fixed-phi sim libraries (reference sims/cmbs.py:236-280): every index shares one
+    lensing potential while the CMB fields vary — the mean-field-study configuration."""
+    from plancklens_tpu.models.sims import (CMBUnlLibFixedPhi, CMBLenLibFixedPhi,
+                                            CMBUnlLib)
+    lmax = 24
+    cls = camb_clfile(os.path.join(plancklens_tpu.DATAPATH, 'cls',
+                                   'FFP10_wdipole_lenspotentialCls.dat'), lmax=lmax + 8)
+    lib = CMBUnlLibFixedPhi(cls, lmax, seed=1, phi_idx=0)
+    base = CMBUnlLib(cls, lmax, seed=1)
+    plm0, plm5 = np.asarray(lib.get_sim_plm(0)), np.asarray(lib.get_sim_plm(5))
+    assert np.array_equal(plm0, plm5), 'phi must be identical across indices'
+    assert np.array_equal(plm0, np.asarray(base.get_sim_plm(0))), \
+        'default fixed phi is the base library sim-0 draw'
+    assert not np.allclose(np.asarray(lib.get_sim_tlm(0)),
+                           np.asarray(lib.get_sim_tlm(5))), 'CMB fields must vary'
+    batch = np.asarray(lib.get_sim_alms_batch([1, 3]))
+    ip = lib._field_index('p')
+    assert np.array_equal(batch[0, ip], plm0) and np.array_equal(batch[1, ip], plm0)
+    assert lib.hashdict() != base.hashdict()
+    # explicit external plm
+    ext = np.zeros(ualm.getsize(lmax), dtype=complex)
+    ext[ualm.getsize(lmax) // 2] = 1. + 0j
+    lib2 = CMBUnlLibFixedPhi(cls, lmax, seed=1, plm=ext)
+    assert np.array_equal(np.asarray(lib2.get_sim_plm(7)), ext)
+    assert lib2.hashdict() != lib.hashdict()
+    # lensed variant: same deflection for every index, different skies
+    geom = gl_geometry(lmax + 16)
+    llib = CMBLenLibFixedPhi(cls, lmax, geom, seed=2, dlmax=8)
+    assert np.array_equal(np.asarray(llib.get_sim_plm(0)),
+                          np.asarray(llib.get_sim_plm(4)))
+    t0, t4 = np.asarray(llib.get_sim_tmap(0)), np.asarray(llib.get_sim_tmap(4))
+    assert not np.allclose(t0, t4)
