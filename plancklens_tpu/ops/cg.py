@@ -27,11 +27,19 @@ def dot_alm(alm1, alm2, ms):
     return jnp.sum(w * acc, axis=-1).astype(prod.dtype)
 
 
+def _posguard(x):
+    """max(x, tiny) with a dtype-appropriate tiny. The former literal 1e-300
+    underflows to exactly 0.0 in float32, guarding nothing precisely where the f32
+    engine needs it: an all-zero RHS row (or a row converging to exact-zero residual)
+    would give 0/0 = NaN and poison that row of the batch."""
+    return jnp.maximum(x, jnp.finfo(x.dtype).tiny)
+
+
 def _pcg_loop(fwd_op, pre_op, b, x0, iter_max, eps_min, ms, roundoff=25):
     """Traceable PCG while_loop (shared by :func:`pcg` and :func:`pcg_ir`)."""
     b = jnp.atleast_2d(b)
     x0 = jnp.broadcast_to(jnp.atleast_2d(x0), b.shape)
-    b0 = jnp.maximum(dot_alm(b, b, ms), 1e-300)
+    b0 = _posguard(dot_alm(b, b, ms))
 
     r = b - fwd_op(x0)
     z = pre_op(r)
@@ -48,7 +56,7 @@ def _pcg_loop(fwd_op, pre_op, b, x0, iter_max, eps_min, ms, roundoff=25):
         x, r, p, rz, it = state
         Ap = fwd_op(p)
         pAp = dot_alm(p, Ap, ms)
-        alpha = (rz / jnp.maximum(pAp, 1e-300)).astype(b.real.dtype)
+        alpha = (rz / _posguard(pAp)).astype(b.real.dtype)
         x = x + alpha[:, None] * p
         # roundoff is a static python int: guard the modulo so roundoff=0 (inner IR
         # solves, which never refresh) does not emit an integer rem-by-zero
@@ -59,7 +67,7 @@ def _pcg_loop(fwd_op, pre_op, b, x0, iter_max, eps_min, ms, roundoff=25):
                          lambda: r - alpha[:, None] * Ap)
         z = pre_op(r)
         rz_new = dot_alm(r, z, ms)
-        beta = (rz_new / jnp.maximum(rz, 1e-300)).astype(b.real.dtype)
+        beta = (rz_new / _posguard(rz)).astype(b.real.dtype)
         p = z + beta[:, None] * p
         return x, r, p, rz_new, it + 1
 
@@ -104,7 +112,7 @@ def pcg_ir(fwd_op, pre_op, b, x0, iter_max, eps_min, ms, inner_dec=3e-2, inner_c
     """
     b = jnp.atleast_2d(b)
     x0 = jnp.broadcast_to(jnp.atleast_2d(x0), b.shape)
-    b0 = jnp.maximum(dot_alm(b, b, ms), 1e-300)
+    b0 = _posguard(dot_alm(b, b, ms))
     rdt = b.real.dtype
 
     def cond(state):
@@ -178,7 +186,7 @@ def pcg_monitored(fwd_op, pre_op, b, x0, ms, monitor):
     to stop. Returns (x, n_iter, rel_residual)."""
     b = jnp.atleast_2d(b)
     x = jnp.broadcast_to(jnp.atleast_2d(x0), b.shape)
-    b0 = jnp.maximum(dot_alm(b, b, ms), 1e-300)
+    b0 = _posguard(dot_alm(b, b, ms))
     r = b - fwd_op(x)
     z = pre_op(r)
     p = z
@@ -188,12 +196,12 @@ def pcg_monitored(fwd_op, pre_op, b, x0, ms, monitor):
     rel = np.sqrt(np.asarray(dot_alm(r, r, ms) / b0))
     while not monitor(it, rel):
         Ap = fwd_op(p)
-        alpha = (rz / jnp.maximum(dot_alm(p, Ap, ms), 1e-300)).astype(b.real.dtype)
+        alpha = (rz / _posguard(dot_alm(p, Ap, ms))).astype(b.real.dtype)
         x = x + alpha[:, None] * p
         r = r - alpha[:, None] * Ap
         z = pre_op(r)
         rz_new = dot_alm(r, z, ms)
-        beta = (rz_new / jnp.maximum(rz, 1e-300)).astype(b.real.dtype)
+        beta = (rz_new / _posguard(rz)).astype(b.real.dtype)
         p = z + beta[:, None] * p
         rz = rz_new
         it += 1
@@ -216,12 +224,12 @@ def pcg_fixed(fwd_op, pre_op, b, x0, n_iter, ms):
         x, r, p, rz = state
         Ap = fwd_op(p)
         pAp = dot_alm(p, Ap, ms)
-        alpha = (rz / jnp.maximum(pAp, 1e-300)).astype(b.real.dtype)
+        alpha = (rz / _posguard(pAp)).astype(b.real.dtype)
         x = x + alpha[:, None] * p
         r = r - alpha[:, None] * Ap
         z = pre_op(r)
         rz_new = dot_alm(r, z, ms)
-        beta = (rz_new / jnp.maximum(rz, 1e-300)).astype(b.real.dtype)
+        beta = (rz_new / _posguard(rz)).astype(b.real.dtype)
         p = z + beta[:, None] * p
         return x, r, p, rz_new
 

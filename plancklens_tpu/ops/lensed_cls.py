@@ -22,22 +22,6 @@ from .gauleg import gauleg, nquad_for
 from .wigner import wignerpos, wignercoeff
 
 
-def _spin_ladder_factors(ls, s, k):
-    """prod_{j=0..k-1} sqrt((l - (s+j))(l + s + j + 1)): k-fold spin raising from s."""
-    fac = np.ones_like(ls, dtype=float)
-    for j in range(k):
-        fac *= np.sqrt(np.maximum((ls - (s + j)) * (ls + s + j + 1.), 0.))
-    return fac
-
-
-def _spin_lowering_ladder(ls, s, k):
-    """prod for k-fold lowering from spin s: sqrt((l + s - j)(l - s + j + 1))."""
-    fac = np.ones_like(ls, dtype=float)
-    for j in range(k):
-        fac *= np.sqrt(np.maximum((ls + s - j) * (ls - s + j + 1.), 0.))
-    return fac
-
-
 def lensed_cls(cls_unl, clpp, lmax_out=None, nterms=2, delta_cls=False):
     """Lensed TT/EE/BB/TE spectra.
 

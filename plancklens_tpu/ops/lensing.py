@@ -19,7 +19,6 @@ from functools import partial
 
 from ..utils import alm as ualm
 from .sht import SHT, RingGeometry, good_fft_size
-from .sht.geometry import gl_geometry
 
 
 def ecp_rings(ntheta):
@@ -27,13 +26,14 @@ def ecp_rings(ntheta):
     return (np.arange(ntheta) + 0.5) * np.pi / ntheta
 
 
-class ECPGrid(RingGeometry):
-    pass
-
-
 def _ecp_geom(lmax, oversample):
     nth = int(np.ceil(oversample * (lmax + 1)))
+    # nphi must be EVEN: the pole folding in _interp2d implements the phi + pi
+    # half-turn as an integer shift by nphi//2 columns, which is exact only then
+    # (good_fft_size alone returns odd 3^b 5^c sizes for ~10% of lmax values)
     nphi = good_fft_size(int(np.ceil(oversample * (2 * lmax + 1))))
+    while nphi % 2:
+        nphi = good_fft_size(nphi + 1)
     th = ecp_rings(nth)
     return RingGeometry('ecp_lens_%d_%d' % (nth, nphi), th, np.zeros(nth), nphi)
 
@@ -58,11 +58,13 @@ def _lagrange_weights(frac, order):
 
 
 @partial(jax.jit, static_argnums=(3,))
-def _interp2d(fmaps, theta_t, phi_t, order, th0, dth, nphi_in, spin_sign):
+def _interp2d(fmaps, theta_t, phi_t, order, th0, dth, spin_sign):
     """Separable Lagrange interpolation of (batch, nth, nphi) maps at target positions.
 
-    theta rows at th0 + i*dth; phi columns at 2 pi k / nphi_in. Out-of-range theta rows
-    (pole crossing) are folded back via f(-theta, phi+pi) = spin_sign * f(theta, phi).
+    theta rows at th0 + i*dth; phi columns at 2 pi k / nphi (nphi = fmaps.shape[-1],
+    must be even). Out-of-range theta rows (pole crossing) are folded back via
+    f(-theta, phi+pi) = spin_sign * f(theta, phi), with the half turn applied as an
+    nphi//2 column shift.
     """
     batch, nth, nphi = fmaps.shape
     x = (theta_t - th0) / dth           # fractional row index
@@ -169,7 +171,7 @@ class Lensing:
         thp, php, _ = self._positions(plm, olm=olm)
         tsrc = self.sht_src.alm2map(tlm)
         out = jnp.stack([_interp2d(tsrc[i:i + 1], thp[i], php[i], self.order,
-                                   self._th0, self._dth, self.src.nphi, 1.)[0]
+                                   self._th0, self._dth, 1.)[0]
                          for i in range(tsrc.shape[0])])
         return out
 
@@ -185,7 +187,7 @@ class Lensing:
         p = q + 1j * u
         sgn = (-1.) ** spin  # pole-crossing parity of the spin-s field
         out = jnp.stack([_interp2d(p[i:i + 1], thp[i], php[i], self.order,
-                                   self._th0, self._dth, self.src.nphi, sgn)[0]
+                                   self._th0, self._dth, sgn)[0]
                          for i in range(p.shape[0])])
         # components in the basis parallel-transported from n pick up e^{-is gamma}
         out = out * jnp.exp(-1j * spin * gamma)

@@ -48,6 +48,26 @@ def _xi_sign(m, n):
     return -1.0 if (m > n and (m - n) % 2 == 1) else 1.0
 
 
+def _rec_step(l, st, al, bl, gl, xc, l0, sv, sk, thresh, down):
+    """One scaled Wigner-d recursion step l -> l+1: seed injection at l+1 == l0(m),
+    2^-S down-scaling when |d| crosses thresh, carried exponent count k.
+
+    st = (d_{l-1}, d_l, k); al/bl/gl are (m,) coefficient rows broadcast over the ring
+    axis; xc is (rings, 1) cos(theta); sv/sk the (rings, m) seed value/exponent rows.
+    THE single XLA implementation, shared by the plain scan, the fused NS-pair scan
+    and the blocked analysis (the Pallas kernels carry their own in-kernel copy of
+    this step — keep them in sync when touching the rescale/injection logic)."""
+    d_m1, d, k = st
+    d_next = (al[None, :] * xc + bl[None, :]) * d - gl[None, :] * d_m1
+    inject = (l + 1) == l0[None, :]
+    d_new = jnp.where(inject, jnp.zeros_like(d), d)
+    d_next = jnp.where(inject, sv, d_next)
+    k = jnp.where(inject, sk, k)
+    cond = (k < 0) & (jnp.abs(d_next) > thresh)
+    fac = jnp.where(cond, down, jnp.ones_like(d_next))
+    return d_new * fac, d_next * fac, k + cond.astype(jnp.int32)
+
+
 def recursion_tables(lmax, mmax, n, theta, grid_token=None, dtype=np.float64):
     """Per-(l, m) recursion coefficients and scaled seed values for d^l_{m, n}(theta).
 
@@ -141,15 +161,8 @@ def _legendre_scan(mode, S, C_or_Q, alpha, beta, gamma, l0, seed_v, seed_k, x,
     k = jnp.where(l0[None, :] == 0, seed_k, jnp.zeros((nrings, mmaxp1), jnp.int32))
 
     def recurse(l, d_m1, d, k, al, bl, gl):
-        """One scaled recursion step l -> l+1 with seed injection at l+1 == l0(m)."""
-        d_next = (al[None, :] * xcol + bl[None, :]) * d - gl[None, :] * d_m1
-        inject = (l + 1) == l0[None, :]
-        d_new = jnp.where(inject, jnp.zeros_like(d), d)
-        d_next = jnp.where(inject, seed_v, d_next)
-        k = jnp.where(inject, seed_k, k)
-        cond = (k < 0) & (jnp.abs(d_next) > thresh)
-        fac = jnp.where(cond, down, jnp.ones_like(d_next))
-        return d_new * fac, d_next * fac, k + cond.astype(jnp.int32)
+        return _rec_step(l, (d_m1, d, k), al, bl, gl, xcol, l0, seed_v, seed_k,
+                         thresh, down)
 
     # l-loop chunking: CHUNK l-steps are unrolled inside each scan step. Default 1 off
     # the MXU path: both the XLA TPU cost model and measured CPU wall time degrade
@@ -310,15 +323,7 @@ def _legendre_pair_ns(mode, S, single, nrings, Cp_or_Qp, Cm_or_Qm, sgn_m,
         return d_m1, d, k
 
     def recurse(l, st, al, bl, gl, l0, sv, sk):
-        d_m1, d, k = st
-        d_next = (al[None, :] * xcol + bl[None, :]) * d - gl[None, :] * d_m1
-        inject = (l + 1) == l0[None, :]
-        d_new = jnp.where(inject, jnp.zeros_like(d), d)
-        d_next = jnp.where(inject, sv, d_next)
-        k = jnp.where(inject, sk, k)
-        cond = (k < 0) & (jnp.abs(d_next) > thresh)
-        fac = jnp.where(cond, down, jnp.ones_like(d_next))
-        return d_new * fac, d_next * fac, k + cond.astype(jnp.int32)
+        return _rec_step(l, st, al, bl, gl, xcol, l0, sv, sk, thresh, down)
 
     CHUNK = chunk       # see _legendre_scan / _dispatch
     MXU = mxu
@@ -471,15 +476,7 @@ def _legendre_pair_ns(mode, S, single, nrings, Cp_or_Qp, Cm_or_Qm, sgn_m,
                 return d_m1, d, k
 
             def rec(l, st, al, bl, gl, l0, sv, sk):
-                d_m1, d, k = st
-                d_next = (al[None, :] * xc + bl[None, :]) * d - gl[None, :] * d_m1
-                inject = (l + 1) == l0[None, :]
-                d_new = jnp.where(inject, jnp.zeros_like(d), d)
-                d_next = jnp.where(inject, sv, d_next)
-                k = jnp.where(inject, sk, k)
-                cond = (k < 0) & (jnp.abs(d_next) > thresh)
-                fac = jnp.where(cond, down, jnp.ones_like(d_next))
-                return d_new * fac, d_next * fac, k + cond.astype(jnp.int32)
+                return _rec_step(l, st, al, bl, gl, xc, l0, sv, sk, thresh, down)
 
             def step_a(carry, xs):
                 lc = xs[0]
@@ -721,11 +718,15 @@ def legendre_synth(C, n, theta, grid_token=None, dtype=np.float64, engine='xla')
     automatically on CPU backends)."""
     lmax = C.shape[-2] - 1
     mmax = C.shape[-1] - 1
-    t = recursion_tables(lmax, mmax, n, theta, grid_token=grid_token, dtype=dtype)
     if engine == 'pallas':
+        # the kernel is f32-only: f64 tables carry an S scaling sized to the f64
+        # exponent range, whose seed values overflow to inf when cast to f32
         from .pallas_kernel import legendre_synth_pallas
+        t = recursion_tables(lmax, mmax, n, theta, grid_token=grid_token,
+                             dtype=np.float32)
         interp = jax.default_backend() == 'cpu'
         return legendre_synth_pallas(C, t, np.cos(np.asarray(theta)), interpret=interp)
+    t = recursion_tables(lmax, mmax, n, theta, grid_token=grid_token, dtype=dtype)
     tb = _tabs_for(t, C)
     mxu, chunk = _dispatch(C.shape[0])
     return _legendre_scan('synth', t['S'], jnp.asarray(C), tb['alpha'], tb['beta'],
@@ -738,11 +739,15 @@ def legendre_anal(Q, n, theta, lmax, grid_token=None, dtype=np.float64, engine='
 
     engine='pallas' uses the VMEM-resident TPU kernel (f32; interpret mode on CPU)."""
     mmax = Q.shape[-1] - 1
-    t = recursion_tables(lmax, mmax, n, theta, grid_token=grid_token, dtype=dtype)
     if engine == 'pallas':
+        # f32 tables required — see legendre_synth
         from .pallas_kernel import legendre_anal_pallas
+        t = recursion_tables(lmax, mmax, n, theta, grid_token=grid_token,
+                             dtype=np.float32)
         interp = jax.default_backend() == 'cpu'
-        return legendre_anal_pallas(Q, t, np.cos(np.asarray(theta)), lmax, interpret=interp)
+        return legendre_anal_pallas(Q, t, np.cos(np.asarray(theta)), lmax,
+                                    interpret=interp)
+    t = recursion_tables(lmax, mmax, n, theta, grid_token=grid_token, dtype=dtype)
     tb = _tabs_for(t, Q)
     mxu, chunk = _dispatch(Q.shape[0], anal=True)
     return _legendre_scan('anal', t['S'], jnp.asarray(Q), tb['alpha'], tb['beta'],

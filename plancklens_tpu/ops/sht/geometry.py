@@ -76,17 +76,11 @@ def gl_geometry(lmax, nphi=None):
 
 
 def ecp_geometry(nrings, nphi=None, lmax=None):
-    """Equidistant-colatitude (Clenshaw-Curtis style, endpoints excluded) grid with
-    exact quadrature weights computed by Fejer-1 rule."""
+    """Equidistant-colatitude (midpoint, endpoints excluded) grid with quadrature
+    weights exact for polynomials in cos(theta) up to degree nrings-1, obtained by a
+    direct solve against the Legendre Vandermonde system (O(n^2); nrings is modest
+    wherever this grid is used)."""
     th = (np.arange(nrings) + 0.5) * np.pi / nrings
-    # Fejer-1 weights in theta: integrate f(cos th) sin th dth
-    k = np.arange(1, nrings, 2)
-    w = np.zeros(nrings)
-    for j in range(nrings):
-        w[j] = (2. / nrings) * (1. - 2. * np.sum(np.cos(k * th[j]) / k * np.sin(th[j]) * 0))
-    # Direct DCT-based Fejer weights for int_0^pi f(th) sin(th) dth at midpoints:
-    # w_j = (2/nrings) * sum_{m=0}^{nrings-1} sin((2j+1) pi (2m+1) / (2 nrings)) ... simpler:
-    # use exact solve against Legendre polynomials is O(n^2); nrings is modest here.
     from numpy.polynomial.legendre import legvander
     V = legvander(np.cos(th), nrings - 1).T  # (nrings, nrings)
     rhs = np.zeros(nrings)

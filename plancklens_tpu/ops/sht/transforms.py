@@ -49,7 +49,9 @@ def _to_rings(Fp, Fm, nphi, phi0):
     mm = np.arange(mmaxp1)
     if mmaxp1 <= nphi - (mmaxp1 - 1):  # disjoint bins: cheap slice placement
         X = X.at[..., :mmaxp1].set(Fp)
-        X = X.at[..., -mmaxp1 + 1:].add(Fm[..., 1:][..., ::-1])
+        if mmaxp1 > 1:  # mmax == 0 has no negative-m bins ([..., 0:] would be the
+            # full axis while the update is zero-length — a shape error)
+            X = X.at[..., -mmaxp1 + 1:].add(Fm[..., 1:][..., ::-1])
     else:
         X = X.at[..., mm % nphi].add(Fp)
         X = X.at[..., (-mm[1:]) % nphi].add(Fm[..., 1:])
@@ -64,7 +66,9 @@ def _from_rings(maps, mmax, phi0):
         'analysis needs nphi >= 2 mmax + 1 (%d < %d)' % (nphi, 2 * mmax + 1)
     T = jnp.fft.fft(maps, axis=-1) * (2. * np.pi / nphi)
     Gp = T[..., :mmax + 1]
-    Gm = jnp.concatenate([T[..., :1], T[..., -mmax:][..., ::-1]], axis=-1)
+    # mmax == 0 must not take T[..., -0:] (the full axis, not an empty slice)
+    neg = T[..., -mmax:][..., ::-1] if mmax > 0 else T[..., :0]
+    Gm = jnp.concatenate([T[..., :1], neg], axis=-1)
     if phi0 != 0.:
         m = jnp.arange(mmax + 1)
         rot = jnp.exp(-1j * m * phi0).astype(Gp.dtype)
@@ -199,7 +203,19 @@ class SHT:
         return A, B
 
     def _to_grid(self, alm):
-        return ualm.alm2lm(jnp.asarray(alm, dtype=self.cdtype), self.lmax)
+        """Full-layout triangular alm -> (lmax+1, mmax+1) dense grid (an mmax < lmax
+        truncates the azimuthal band, as healpy's mmax does)."""
+        A = ualm.alm2lm(jnp.asarray(alm, dtype=self.cdtype), self.lmax)
+        return A if self.mmax == self.lmax else A[..., :self.mmax + 1]
+
+    def _from_grid(self, A):
+        """(lmax+1, mmax+1) dense grid -> full-layout triangular alm, zero beyond
+        mmax. Padding before the triangular gather is required: lm2alm at full lmax
+        on a narrower grid would silently CLAMP the m index (wrong values for
+        m > mmax), not error."""
+        if self.mmax < self.lmax:
+            A = jnp.pad(A, ((0, 0),) * (A.ndim - 1) + ((0, self.lmax - self.mmax),))
+        return ualm.lm2alm(A, self.lmax)
 
     # ------------------------------------------------------------------ spin 0
     def alm2map(self, tlm):
@@ -231,8 +247,8 @@ class SHT:
         A, _ = legendre_anal_pair(Gp * w, None, 0, self.geom.theta, self.lmax,
                                   grid_token=self._tok(), dtype=self.dtype,
                                   engine=self.engine)
-        out = ualm.lm2alm(self._sc(A, 'lm_m') * _facl(self.lmax).astype(self.dtype)[:, None],
-                          self.lmax)
+        out = self._from_grid(self._sc(A, 'lm_m')
+                              * _facl(self.lmax).astype(self.dtype)[:, None])
         out = self._sc(out, 'alm')
         return out.reshape(batch_shape + out.shape[-1:])
 
@@ -261,7 +277,7 @@ class SHT:
         batch_shape = m1.shape[:-2]
         mc = (m1 + 1j * jnp.asarray(m2)).reshape((-1,) + m1.shape[-2:]).astype(self.cdtype)
         A, B = self._anal_pair(mc, spin)
-        glm = self._sc(ualm.lm2alm(-0.5 * (A + B), self.lmax), 'alm')
-        clm = self._sc(ualm.lm2alm(0.5j * (A - B), self.lmax), 'alm')
+        glm = self._sc(self._from_grid(-0.5 * (A + B)), 'alm')
+        clm = self._sc(self._from_grid(0.5j * (A - B)), 'alm')
         return glm.reshape(batch_shape + glm.shape[-1:]), \
             clm.reshape(batch_shape + clm.shape[-1:])

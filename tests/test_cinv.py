@@ -488,3 +488,30 @@ def test_multigrid_pre_op_p_structurally_sound():
     _, _, rel_id = cg.pcg(flat(fwd), lambda x: x, bf, jnp.zeros_like(bf), 25, 1e-12, ms2)
     assert float(np.asarray(rel_mg).max()) < float(np.asarray(rel_id).max()), \
         (np.asarray(rel_mg), np.asarray(rel_id))
+
+
+def test_pcg_zero_rhs_row_stays_finite_f32():
+    """A batch row with an all-zero RHS must converge to zero, not NaN: the division
+    guards are dtype-aware (the former 1e-300 literal underflows to 0.0 in f32 and
+    guarded nothing — round-4 review finding)."""
+    from plancklens_tpu.ops import cg
+    import jax.numpy as jnp
+    lmax = 12
+    ls, ms = ualm._lm_indices(lmax)
+    diag = (1. + ls.astype(np.float32))  # SPD diagonal system
+
+    def fwd(x):
+        return x * diag[None]
+
+    rng = np.random.RandomState(11)
+    b = (rng.standard_normal((2, len(ls))) + 1j * rng.standard_normal((2, len(ls)))
+         ).astype(np.complex64)
+    b[0] = 0.  # the poisoned row of the old guards
+    x, it, rel = cg.pcg(fwd, lambda r: r, jnp.asarray(b),
+                        jnp.zeros_like(jnp.asarray(b)), 50, np.float32(1e-6),
+                        jnp.asarray(ms))
+    x = np.asarray(x)
+    assert np.all(np.isfinite(x)), 'zero-RHS row poisoned the batch with NaN'
+    assert not np.any(x[0])
+    assert np.abs(x[1] - b[1] / diag).max() < 1e-5 * np.abs(b[1]).max()
+    assert np.all(np.isfinite(np.asarray(rel)))

@@ -69,3 +69,25 @@ def test_sht_pallas_engine_matches_xla():
     bx = np.asarray(sx.map2alm(tx))
     bp = np.asarray(sp.map2alm(tx))
     assert np.abs(bp - bx).max() < 1e-5 * np.abs(bx).max()
+
+
+def test_pallas_entry_point_coerces_f64_tables():
+    """core.legendre_synth/anal with engine='pallas' and the DEFAULT f64 dtype must
+    feed f32-scaled tables to the f32-only kernel (f64 tables carry S=256 whose seeds
+    overflow to inf in f32 — round-4 review finding)."""
+    lmax, B = 96, 1
+    geom = gl_geometry(lmax)
+    rng = np.random.RandomState(3)
+    C = (rng.standard_normal((B, lmax + 1, lmax + 1))
+         + 1j * rng.standard_normal((B, lmax + 1, lmax + 1))).astype(np.complex64)
+    Gp = np.asarray(core.legendre_synth(C, 0, geom.theta, engine='pallas'))  # f64 default
+    assert np.all(np.isfinite(Gp))
+    Gx = np.asarray(core.legendre_synth(C, 0, geom.theta, dtype=np.float32))
+    assert np.abs(Gp - Gx).max() / np.abs(Gx).max() < 1e-5
+    nrings = len(geom.theta)
+    Q = (rng.standard_normal((B, nrings, lmax + 1))
+         + 1j * rng.standard_normal((B, nrings, lmax + 1))).astype(np.complex64)
+    Ap = np.asarray(core.legendre_anal(Q, 0, geom.theta, lmax, engine='pallas'))
+    assert np.all(np.isfinite(Ap))
+    Ax = np.asarray(core.legendre_anal(Q, 0, geom.theta, lmax, dtype=np.float32))
+    assert np.abs(Ap - Ax).max() / np.abs(Ax).max() < 1e-5

@@ -207,3 +207,31 @@ def test_mxu_auto_dispatch_matches_streaming():
             del os.environ['PLK_SHT_MXU']
         assert np.abs(q1 - q0).max() <= 1e-5 * np.abs(q0).max()
         assert np.abs(e1 - e0).max() <= 1e-5 * np.abs(e0).max()
+
+
+def test_mmax_truncation_and_mmax0():
+    """mmax < lmax transforms: synthesis/analysis act on the azimuthally-truncated
+    band, with m > mmax alm entries ignored/zeroed (round-4 review findings: the
+    mmax=0 FFT-bin placement crashed, and analysis at mmax < lmax silently CLAMPED
+    the m gather, returning wrong values for m > mmax)."""
+    lmax = 16
+    geom = gl_geometry(lmax)
+    rng = np.random.RandomState(5)
+    ls, ms = ualm._lm_indices(lmax)
+    alm = (rng.standard_normal(len(ls)) + 1j * rng.standard_normal(len(ls)))[None]
+    alm[:, ms == 0] = alm[:, ms == 0].real
+
+    full = SHT(geom, lmax)
+    for mmax in (0, 4):
+        sht = SHT(geom, lmax, mmax=mmax)
+        m = np.asarray(sht.alm2map(alm))
+        alm_cut = np.where(ms[None] <= mmax, alm, 0.)
+        m_ref = np.asarray(full.alm2map(alm_cut))
+        assert np.abs(m - m_ref).max() < 1e-10 * np.abs(m_ref).max(), mmax
+        back = np.asarray(sht.map2alm(m))
+        assert np.abs(back - alm_cut).max() < 1e-8 * np.abs(alm_cut).max(), mmax
+        assert not np.any(back[:, ms > mmax]), 'm > mmax must come back exactly zero'
+    # mmax=0 maps are azimuthally constant
+    sht0 = SHT(geom, lmax, mmax=0)
+    m0 = np.asarray(sht0.alm2map(alm))
+    assert np.allclose(m0[0], m0[0][:, :1], atol=1e-12 * np.abs(m0).max())
