@@ -676,6 +676,10 @@ class CinvP:
         fbl[:2] *= 0.
         return fbl
 
+    def get_fmask(self):
+        qq, _, uu = self.filt.ninv
+        return np.where((qq > 0) | (uu > 0), 1., 0.)
+
     def _dot_ms(self):
         # stacked (batch, 2, nalm) treated as a single vector
         return self._ms
@@ -762,7 +766,9 @@ class IVFCinv:
         return cli(self.cinv_t.transf if a == 't' else self.cinv_p.transf)
 
     def get_fmask(self):
-        return self.cinv_t.get_fmask()
+        # pol-only libraries (cinv_t=None) report the polarisation mask
+        return self.cinv_t.get_fmask() if self.cinv_t is not None \
+            else self.cinv_p.get_fmask()
 
     def get_sim_tlm(self, idx):
         key = ('t', idx)

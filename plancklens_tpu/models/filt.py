@@ -219,6 +219,14 @@ class IVFShuffle:
         return h
 
     def __getattr__(self, name):
+        if name == 'get_sim_teblm_batch':
+            # batched accessor: remap elementwise (the scalar wrapper below would
+            # pass the whole index array into the dict lookup). An AttributeError
+            # from the inner lookup propagates, so hasattr() correctly reports the
+            # batch interface only when the wrapped library has one.
+            inner = getattr(self.ivfs, name)
+            return lambda idxs: inner(
+                np.array([self._m(int(i)) for i in np.atleast_1d(idxs)]))
         if name.startswith('get_sim_'):
             inner = getattr(self.ivfs, name)
             return lambda idx, *a, **kw: inner(self._m(idx), *a, **kw)
@@ -302,7 +310,54 @@ class IVFFml:
     def get_sim_blm(self, idx):
         return self._apply(self.ivfs.get_sim_blm(idx), 'b')
 
+    # the Wiener legs carry the same (l, m) rescale (the reference's library_fml
+    # applies its m-filter to the mliklm accessors too, filt_util.py:175-182)
+    def get_sim_tmliklm(self, idx):
+        return self._apply(self.ivfs.get_sim_tmliklm(idx), 't')
+
+    def get_sim_emliklm(self, idx):
+        return self._apply(self.ivfs.get_sim_emliklm(idx), 'e')
+
+    def get_sim_bmliklm(self, idx):
+        return self._apply(self.ivfs.get_sim_bmliklm(idx), 'b')
+
+    def _fl_spectrum(self, key, inner_fl):
+        """l-spectrum view of the (l, m) rescale: per l, the multiplicity-weighted
+        mean of fml over |m| <= l, sqrt-applied at the spectrum level (the
+        reference's heuristic for its m-filters, filt_util.py:151-164)."""
+        fm = self._fm[key]
+        lmaxp1 = min(len(inner_fl), fm.shape[0])
+        ls = np.arange(lmaxp1)
+        w = np.full(fm.shape[1], 2.)
+        w[0] = 1.
+        tri = np.tril(np.ones((lmaxp1, min(fm.shape[1], lmaxp1))))
+        mean = (fm[:lmaxp1, :tri.shape[1]] * w[None, :tri.shape[1]] * tri).sum(axis=1) \
+            / (2. * ls + 1.)
+        return np.asarray(inner_fl)[:lmaxp1] * np.sqrt(np.maximum(mean, 0.))
+
+    def get_ftl(self):
+        return self._fl_spectrum('t', self.ivfs.get_ftl())
+
+    def get_fel(self):
+        return self._fl_spectrum('e', self.ivfs.get_fel())
+
+    def get_fbl(self):
+        return self._fl_spectrum('b', self.ivfs.get_fbl())
+
     def __getattr__(self, name):
+        if name == 'get_sim_teblm_batch':
+            # rescale the batch per field; AttributeError from the inner lookup
+            # propagates so hasattr() is honest about the batch interface
+            inner = getattr(self.ivfs, name)
+
+            def batch(idxs):
+                t, e, b = inner(idxs)
+                return self._apply(t, 't'), self._apply(e, 'e'), self._apply(b, 'b')
+            return batch
+        if name.startswith('get_sim_'):
+            # refuse to forward filtered-alm accessors we do not rescale: a silent
+            # pass-through would return inner-library alms missing the fml factor
+            raise AttributeError('IVFFml does not expose %r' % name)
         return getattr(self.ivfs, name)
 
 

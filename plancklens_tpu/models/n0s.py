@@ -49,10 +49,13 @@ def _per_field(value, floor=None):
 
 
 def _pol_nlevs(nlev_p):
-    """Split a polarisation noise level into (E, B) components; a (2, ...) array gives
-    them separately, anything else is shared."""
+    """Split a polarisation noise level into (E, B) components; a (2, ...) array —
+    including a plain (E, B) scalar pair — gives them separately, anything else is
+    shared."""
     arr = np.atleast_1d(np.asarray(nlev_p, dtype=float))
-    if arr.ndim == 2 and arr.shape[0] == 2:
+    if arr.shape[0] == 2 and arr.ndim <= 2:
+        # a length-2 first axis is an (E, B) split: a 2-entry *L-array* of noise
+        # levels has no sensible meaning, so the pair reading is unambiguous
         return arr[0], arr[1]
     return arr.squeeze(), arr.squeeze()
 
@@ -255,7 +258,16 @@ class DelensingForecast:
         lensing estimate leaves unresolved, per L.  Before the first N0 exists only the
         external tracer delenses."""
         if self._n0_grad is None:
-            return 1. - self.rho2_ext
+            r2 = np.atleast_1d(np.asarray(self.rho2_ext, dtype=float))
+            if r2.size == 1:
+                return 1. - float(r2[0])
+            # array rho2_ext: return the FULL-clpp-length residual (ones beyond the
+            # reconstruction band), matching the later-iteration convention — a bare
+            # (lmax_rec+1)-length return broke the dd_fid * resid broadcast at step 0
+            resid = np.ones(len(self.unl_true['pp']))
+            n = min(len(resid), self.lmax_rec + 1, r2.size)
+            resid[:n] = 1. - r2[:n]
+            return resid
         dd_true = clpp_to_cldd(self.unl_true['pp'])
         noise = np.copy(self._n0_grad[:self.lmax_rec + 1])
         if self._n1_grad is not None:   # include_n1: noise degrading the delensing

@@ -113,7 +113,8 @@ class N1Lib:
                                    cltefid=cltefid, cleefid=cleefid, n1_flat=n1_flat)
             fn = '_'.join(['n1', kA, kB, k_ind, clhash(cl_kind), clhash(ftlA),
                            clhash(felA), clhash(fblA), clhash(ftlB), clhash(felB),
-                           clhash(fblB), clhash(clttfid), clhash(cleefid), str(Lmax)])
+                           clhash(fblB), clhash(clttfid), clhash(cltefid),
+                           clhash(cleefid), str(Lmax)])
             if not self.cacher.is_cached(fn):
                 lminA = int(np.min([np.min(np.where(np.abs(f) > 0.)[0], initial=len(f))
                                     for f in [ftlA, felA, fblA]])) + 1
@@ -208,7 +209,8 @@ def get_n1_jtp(self, kA, k_ind, cl_kind, fAlmat, Lmax, kB=None, fBlmat=None,
                         fn = '_'.join(['n1jtp', kA, kB, k_ind, X + Xp + Y + Yp + I + Ip
                                        + J + Jp, clhash(cl_kind), clhash(FXXp),
                                        clhash(FYYp), clhash(FIIp), clhash(FJJp),
-                                       clhash(clttfid), clhash(cleefid), str(Lmax)])
+                                       clhash(clttfid), clhash(cltefid),
+                                       clhash(cleefid), str(Lmax)])
                         if not self.cacher.is_cached(fn):
                             Ls = self._ls_grid(Lmax)
                             n1L = np.array([float(n1kern.n1L_jtp(

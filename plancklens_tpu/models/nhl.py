@@ -107,6 +107,10 @@ class NhlLib:
         self.lmax_qlm = lmax_qlm
         self.resplib = resplib
         self.fsky = fsky
+        # fsky scales every cached product: it enters the cache names below (and the
+        # hashdict), so two libraries sharing one persistent cacher cannot serve each
+        # other's spectra (cache-key discipline)
+        self._ftag = '' if fsky == 1. else '_fs%.5f' % float(fsky)
         self.cacher = cacher if cacher is not None else cacher_mem()
         self._ualm = ualm
 
@@ -115,6 +119,7 @@ class NhlLib:
         ret = {k: clhash(v) for k, v in self.cls_weight.items()}
         ret['ivfs'] = self.ivfs.hashdict()
         ret['lmax_qlm'] = self.lmax_qlm
+        ret['fsky'] = float(self.fsky)   # scales every cached 'anhl_*' product
         return ret
 
     def _get_qe_derived(self, k):
@@ -156,14 +161,16 @@ class NhlLib:
             for k2_, w2 in self._get_qe_derived(k2):
                 s1, GC1, s1ins, ksp1 = qresp.qe_spin_data(k1_)
                 s2, GC2, s2ins, ksp2 = qresp.qe_spin_data(k2_)
-                fn = 'anhl_%s_%s_%s%s_%05d' % (ksp1 + k1_[1:], ksp2 + k2_[1:], GC1, GC2, idx)
+                fn = 'anhl%s_%s_%s_%s%s_%05d' % (self._ftag, ksp1 + k1_[1:],
+                                                 ksp2 + k2_[1:], GC1, GC2, idx)
                 if not self.cacher.is_cached(fn):
                     cls_ivfs, lmax_ivf = self._get_cls(idx, np.unique(np.concatenate([s1ins, s2ins])))
                     GG, CC, GC, CG = get_nhl(k1_, k2_, self.cls_weight, cls_ivfs,
                                              lmax_ivf, lmax_ivf, lmax_out=self.lmax_qlm)
                     for gc1, gc2, N0 in [('G', 'G', GG), ('C', 'G', CG), ('G', 'C', GC),
                                          ('C', 'C', CC)]:
-                        self.cacher.cache('anhl_%s_%s_%s%s_%05d'
-                                          % (ksp1 + k1_[1:], ksp2 + k2_[1:], gc1, gc2, idx), N0)
+                        self.cacher.cache('anhl%s_%s_%s_%s%s_%05d'
+                                          % (self._ftag, ksp1 + k1_[1:],
+                                             ksp2 + k2_[1:], gc1, gc2, idx), N0)
                 ret = ret + w1 * w2 * np.asarray(self.cacher.load(fn))
         return ret

@@ -103,8 +103,17 @@ def qe_eval(qe_list, get_alm, lmax_qlm, geom=None, get_alm2=None, verbose=False,
     symmetrize = get_alm2 is not get_alm
     qes = qe_compress(qe_list, verbose=verbose)
     qe_spin = qes[0][0].spin_ou + qes[0][1].spin_ou
-    cL_out = qes[0][-1](np.arange(lmax_qlm + 1))
+    Ls = np.arange(lmax_qlm + 1)
+    cL_out = qes[0][-1](Ls)
     assert qe_spin >= 0, qe_spin
+    # all compressed terms are co-added below and normalised once: they must share
+    # the output spin and cL scaling (the reference asserts the same,
+    # plancklens/utils_qe.py:103-108) — a mixed list would silently co-add
+    # incompatible estimators
+    for q in qes[1:]:
+        assert q[0].spin_ou + q[1].spin_ou == qe_spin, \
+            (q[0].spin_ou + q[1].spin_ou, qe_spin)
+        assert np.allclose(q[-1](Ls), cL_out), 'qe terms with mixed cL scalings'
     lmax_leg = max(max(q[0].get_lmax(), q[1].get_lmax()) for q in qes)
     if geom is None:
         geom = gl_geometry((2 * lmax_leg + lmax_qlm) // 2, nphi=None)
@@ -154,8 +163,14 @@ class QELib:
         self.profile = profile  # 'd'-source profile (qresp._source_profile)
         self.dtype = dtype      # SHT engine dtype (None = f64; np.float32 in production)
         # non-default engine dtype enters every persistent cache name and the hashdict:
-        # f32 and f64 products sharing a cacher must never serve each other
+        # f32 and f64 products sharing a cacher must never serve each other. The same
+        # discipline applies to transf (shapes the 'ntt' weights) and profile (the
+        # 'd'-source legs): every knob shaping a cached qlm enters its name.
         self._ctag = '' if dtype is None else '_' + np.dtype(dtype).name
+        if transf is not None:
+            self._ctag += '_tf%s' % str(clhash(np.asarray(transf, dtype=float)))[:8]
+        if profile is not None:
+            self._ctag += '_pr%s' % str(clhash(np.asarray(profile, dtype=float)))[:8]
         # device-side memo in front of the persistent cacher, so repeated get_sim_qlm
         # calls (RDN0/qecl loops) return the on-device array without a host round-trip
         self._dev_memo = {}
@@ -172,10 +187,15 @@ class QELib:
         return self._dev_memo[fn]
 
     def hashdict(self):
-        return {'ivfs1': self.ivfs1.hashdict(), 'ivfs2': self.ivfs2.hashdict(),
-                'lmax_ivf': self.lmax_ivf, 'lmax_qlm': self.lmax_qlm,
-                'dtype': self._ctag,
-                **{'clw ' + k: clhash(v) for k, v in self.cls_weight.items()}}
+        h = {'ivfs1': self.ivfs1.hashdict(), 'ivfs2': self.ivfs2.hashdict(),
+             'lmax_ivf': self.lmax_ivf, 'lmax_qlm': self.lmax_qlm,
+             'dtype': self._ctag,   # also carries the transf/profile tags
+             **{'clw ' + k: clhash(v) for k, v in self.cls_weight.items()}}
+        if self.transf is not None:
+            h['transf'] = clhash(self.transf)
+        if self.profile is not None:
+            h['profile'] = clhash(self.profile)
+        return h
 
     def _get_alm_fn(self, ivfs, idx):
         def get_alm(f):

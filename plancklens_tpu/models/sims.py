@@ -422,14 +422,36 @@ class SimLibAdd:
             return idx == -1
         return True
 
+    def _add(self, ra, rb):
+        """wa*ra + wb*rb elementwise, supporting tuple returns (e.g. get_sim_pmap's
+        (Q, U)) — a bare float * tuple would TypeError."""
+        if isinstance(ra, (tuple, list)):
+            return type(ra)(self.wa * x + self.wb * y for x, y in zip(ra, rb))
+        return self.wa * ra + self.wb * rb
+
     def __getattr__(self, name):
+        if name.endswith('_batch') and name.startswith('get_sim_'):
+            # batched accessors take an index ARRAY: the scalar _active() gate is
+            # ambiguous there, so sum per index group instead
+            fa = getattr(self.a, name)
+
+            def get_batch(idxs, *args, **kw):
+                idxs = np.atleast_1d(idxs)
+                ra = fa(idxs, *args, **kw)
+                if all(self._active(int(i)) for i in idxs):
+                    return self._add(ra, getattr(self.b, name)(idxs, *args, **kw))
+                if not any(self._active(int(i)) for i in idxs):
+                    return ra
+                raise ValueError('SimLibAdd batch mixing active and inactive indices '
+                                 '(sims_only/dat_only): split the batch')
+            return get_batch
         if name.startswith('get_sim_'):
             fa = getattr(self.a, name)
 
             def get(idx, *args, **kw):
                 ra = fa(idx, *args, **kw)
                 if self._active(idx):
-                    return self.wa * ra + self.wb * getattr(self.b, name)(idx, *args, **kw)
+                    return self._add(ra, getattr(self.b, name)(idx, *args, **kw))
                 return ra
             return get
         return getattr(self.a, name)
