@@ -22,8 +22,6 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
 os.environ.setdefault('PLK_ANISO_LMAX', '32')
 os.environ.setdefault('PLK_ANISO_NSIMS', '5')
 

@@ -63,8 +63,11 @@ sims = MapsNlevLib(cmbs, transf, NLEV_T, NLEV_P, seed=84)
 
 # --- filtering
 ivfs = IVFSepTP(sims, transf, cl_len, ftl, fel, fbl)
-ds_dict = lambda i: -1                  # all sims paired with the data leg
-ss_dict = lambda i: (i + 1) % NSIMS     # sims paired with the next sim
+# plain dicts, not lambdas: IVFShuffle only folds dict idx-maps into its hashdict,
+# so callable maps would leave qlms_ds/qlms_ss indistinguishable to hash_check and
+# any hashdict-keyed cache (same convention as params/anisofilt_example.py)
+ds_dict = {i: -1 for i in range(NSIMS)}             # all sims paired with the data leg
+ss_dict = {i: (i + 1) % NSIMS for i in range(NSIMS)}  # sims paired with the next sim
 ivfs_d = IVFShuffle(ivfs, ds_dict)
 ivfs_s = IVFShuffle(ivfs, ss_dict)
 

@@ -205,10 +205,15 @@ class QeClLib:
         return st
 
     def get_sim_qcl_batch(self, k1, idxs, k2=None):
-        """Batched MF-subtracted spectra over sims (one pipeline, sims axis)."""
+        """Batched MF-subtracted spectra over sims (one pipeline, sims axis).
+        Write-through to the per-index qcl cache entries, so the scalar accessor,
+        get_sim_stats_qcl and PLK_CACHE_DIR restarts reuse the batch's products."""
         if k2 is None:
             k2 = k1
-        idxs = np.asarray(idxs)
+        idxs = np.atleast_1d(np.asarray(idxs, dtype=int))
+        fns = ['qcl_%s_%s_%04d_%04d' % (k1, k2, i, i) for i in idxs]
+        if all(self.cacher.is_cached(fn) for fn in fns):
+            return np.stack([np.asarray(self.cacher.load(fn)) for fn in fns])
         qA = self.qeA.get_sim_qlm_batch(k1, idxs)
         qB = qA if (self.qeB is self.qeA and k2 == k1) \
             else self.qeB.get_sim_qlm_batch(k2, idxs)
@@ -218,7 +223,10 @@ class QeClLib:
             qA = qA - mfA[None, :]
         if mfB is not None:
             qB = qB - mfB[None, :]
-        return np.asarray(ualm.alm2cl(qA, self.lmax_qlm, alm2=qB))
+        cls = np.asarray(ualm.alm2cl(qA, self.lmax_qlm, alm2=qB))
+        for j, fn in enumerate(fns):
+            self.cacher.cache(fn, cls[j])
+        return cls
 
 
 class InputPlmLib:

@@ -272,11 +272,28 @@ class QELib:
                     + self.get_sim_qlm_batch(k[0] + k[3] + k[2], idxs))
         if '_bh_' in k:
             return self._bh_qlm(k, lambda kk: self.get_sim_qlm_batch(kk, idxs))
+        idxs = np.atleast_1d(np.asarray(idxs, dtype=int))
+        # write-through to the same per-index cache entries get_sim_qlm uses, so a
+        # batched [qe] stage feeds the scalar accessors, the [qcl] stage, and
+        # PLK_CACHE_DIR restarts instead of being recomputed (reference semantics:
+        # every qlm is disk-cached once, plancklens/qest.py:155-201)
+        fns = ['qlm%s_%s_%04d' % (self._ctag, k, i) for i in idxs]
+        if all(self.cacher.is_cached(fn) for fn in fns):
+            return jnp.stack([self._load_dev(fn) for fn in fns])
         get_alm = self._get_alm_batch_fn(self.ivfs1, idxs)
         get_alm2 = None
         if self.ivfs2 is not self.ivfs1:
             get_alm2 = self._get_alm_batch_fn(self.ivfs2, idxs)
         glm, clm = self._eval_key(k, get_alm, get_alm2)
+        kq = 'p' + k[1:] if k[0] == 'x' else k   # grad product's own key name
+        glm_h = np.asarray(glm)
+        clm_h = np.asarray(clm) if k[0] in ('p', 'x') else None
+        for j, i in enumerate(idxs):
+            fng = 'qlm%s_%s_%04d' % (self._ctag, kq, i)
+            self.cacher.cache(fng, glm_h[j])
+            if clm_h is not None:
+                self.cacher.cache('qlm%s_%s_%04d' % (self._ctag, 'x' + k[1:], i),
+                                  clm_h[j])
         return clm if k[0] == 'x' else glm
 
     def get_sim_qlm_mf(self, k, mc_sims):

@@ -95,9 +95,11 @@ void plk_wignerpos(int nx, int lmax, const double* cl, const double* x,
 #pragma omp parallel for schedule(static)
     for (int i = 0; i < nx; ++i) {
         const double xv = x[i];
-        const double lnsin = std::log(std::sqrt(0.5 * (1.0 - xv)));
-        const double lncos = std::log(std::sqrt(0.5 * (1.0 + xv)));
-        const double pref = sgn * std::exp(lnr0 + a * lnsin + b * lncos);
+        // guard the 0 * log(0) = NaN at the poles x = +-1 (ops/wigner.py:110-114)
+        double lnpref = lnr0;
+        if (a > 0) lnpref += a * std::log(std::sqrt(0.5 * (1.0 - xv)));
+        if (b > 0) lnpref += b * std::log(std::sqrt(0.5 * (1.0 + xv)));
+        const double pref = sgn * std::exp(lnpref);
         double p0 = pref;
         double acc = clm[0] * p0;
         if (K >= 1) {
@@ -161,9 +163,11 @@ void plk_wignercoeff(int nx, int lmax, const double* xi, const double* x,
         for (int i = 0; i < nx; ++i) {
             const double xv = x[i];
             const double w = 2.0 * M_PI * xi[i];
-            const double lnsin = std::log(std::sqrt(0.5 * (1.0 - xv)));
-            const double lncos = std::log(std::sqrt(0.5 * (1.0 + xv)));
-            const double pref = sgn * std::exp(lnr0 + a * lnsin + b * lncos);
+            // guard the 0 * log(0) = NaN at the poles x = +-1 (ops/wigner.py:110-114)
+            double lnpref = lnr0;
+            if (a > 0) lnpref += a * std::log(std::sqrt(0.5 * (1.0 - xv)));
+            if (b > 0) lnpref += b * std::log(std::sqrt(0.5 * (1.0 + xv)));
+            const double pref = sgn * std::exp(lnpref);
             double p0 = pref;
             acc[0] += w * p0;
             if (K >= 1) {

@@ -43,11 +43,18 @@ def _gauleg_newton(n):
 
 @lru_cache(maxsize=64)
 def gauleg(n):
-    """n-point Gauss-Legendre nodes (ascending in x = cos(theta)) and weights, float64."""
+    """n-point Gauss-Legendre nodes (ascending in x = cos(theta)) and weights, float64.
+
+    Dispatch: scipy's O(N) C kernel when present, else the C++/OpenMP Newton kernel
+    (plancklens_tpu.native, role of reference plancklens/wigners/wigners.f90:132-184),
+    else the pure-numpy Newton iteration."""
     assert n >= 1, n
     if _scipy_roots is not None:
         x, w = _scipy_roots(n)
         return np.asarray(x, dtype=np.float64), np.asarray(w, dtype=np.float64)
+    from .. import native
+    if native.have_native():
+        return native.gauleg(n)
     return _gauleg_newton(n)
 
 

@@ -132,11 +132,28 @@ def wigner_dmat(lmax, s1, s2, x, grid_token=None):
     return base if xi > 0 else -base
 
 
+def _native_dispatch(*arrays):
+    """True when the opt-in C++/OpenMP host kernels should serve this call:
+    PLK_NATIVE=1, the library is built, and every operand is a host numpy array
+    (never a tracer — jitted callers always see jax arrays and stay on the
+    cached-dmat path)."""
+    import os
+    if os.environ.get('PLK_NATIVE', '0') != '1':
+        return False
+    from .. import native
+    if not native.have_native():
+        return False
+    return all(isinstance(a, np.ndarray) and not np.iscomplexobj(a) for a in arrays)
+
+
 def wignerpos(cl, x, s1, s2, grid_token=None):
     """Position-space synthesis sum_l cl_l (2l+1)/(4 pi) d^l_{s1 s2}(x).
 
     `cl` may have leading batch dimensions; real or complex.
     """
+    if np.ndim(cl) == 1 and _native_dispatch(cl, x):
+        from .. import native
+        return native.wignerpos(cl, x, s1, s2)
     cl = jnp.asarray(cl)
     lmax = cl.shape[-1] - 1
     dmat = wigner_dmat(lmax, s1, s2, x, grid_token=grid_token)
@@ -150,6 +167,9 @@ def wignercoeff(xi, x, s1, s2, lmax, grid_token=None):
     For exact quadrature, xi must include the GL weights.
     `xi` may have leading batch dimensions; real or complex.
     """
+    if np.ndim(xi) == 1 and _native_dispatch(xi, x):
+        from .. import native
+        return native.wignercoeff(xi, x, s1, s2, lmax)
     xi = jnp.asarray(xi)
     dmat = wigner_dmat(lmax, s1, s2, x, grid_token=grid_token)
     dm = dmat.astype(xi.dtype) if jnp.iscomplexobj(xi) else dmat

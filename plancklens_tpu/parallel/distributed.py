@@ -54,6 +54,8 @@ def _env_nproc():
                 return int(os.environ[v])
             except ValueError:
                 pass
+    if 'TPU_WORKER_HOSTNAMES' in os.environ:  # cloud TPU pod: one process per host
+        return len([h for h in os.environ['TPU_WORKER_HOSTNAMES'].split(',') if h])
     return 1
 
 

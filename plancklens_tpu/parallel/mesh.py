@@ -81,15 +81,23 @@ class ShardedIVFS:
         self._mesh = mesh
 
     def __getattr__(self, name):
+        # The batch accessor must only exist when the wrapped filter has one: drivers
+        # probe `hasattr(ivfs, 'get_sim_teblm_batch')` to pick batch vs per-index paths
+        # (examples/run_qlms.py, models/qest.py), so a plain method here would advertise
+        # a batch interface the inner library cannot serve (same contract as
+        # IVFShuffle.__getattr__, models/filt.py).
+        if name == 'get_sim_teblm_batch':
+            inner = getattr(self._ivfs, name)  # AttributeError propagates to hasattr
+
+            def _sharded_batch(idxs):
+                t, e, b = inner(idxs)
+                n_sims = self._mesh.shape['sims']
+                if t.shape[0] % n_sims:  # e.g. small mean-field splits: leave replicated
+                    return t, e, b
+                return (shard_batch(self._mesh, t), shard_batch(self._mesh, e),
+                        shard_batch(self._mesh, b))
+            return _sharded_batch
         return getattr(self._ivfs, name)
 
     def hashdict(self):
         return self._ivfs.hashdict()
-
-    def get_sim_teblm_batch(self, idxs):
-        t, e, b = self._ivfs.get_sim_teblm_batch(idxs)
-        n_sims = self._mesh.shape['sims']
-        if t.shape[0] % n_sims:  # e.g. small mean-field splits: leave replicated
-            return t, e, b
-        return (shard_batch(self._mesh, t), shard_batch(self._mesh, e),
-                shard_batch(self._mesh, b))

@@ -23,7 +23,8 @@ def getsize(lmax, mmax=None):
 def getlmax(size, mmax=None):
     """lmax for a given triangular-array size (mmax == lmax assumed if mmax is None)."""
     if mmax is not None and mmax >= 0:
-        x = (2 * size + mmax ** 2 + mmax - 2) / (2 * mmax + 2)
+        # invert size = (mmax+1)(mmax+2)/2 + (mmax+1)(lmax - mmax)
+        x = (2 * size + mmax ** 2 - mmax - 2) / (2 * mmax + 2)
     else:
         x = (-3 + np.sqrt(1 + 8 * size)) / 2
     if x != np.floor(x):

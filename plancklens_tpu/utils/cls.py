@@ -142,18 +142,15 @@ def cl_inverse(cls):
 
 def smooth_map(m, geom, sigma_rad, lmax=None):
     """Gaussian smoothing of a map on a ring geometry (healpy hp.smoothing role)."""
-    import numpy as _np
     from ..ops.sht import SHT
+    from . import alm as ualm
     if lmax is None:
         lmax = geom.nrings - 1
     sht = SHT(geom, lmax)
-    alm = sht.map2alm(_np.asarray(m))
-    ls = _np.arange(lmax + 1)
-    bl = _np.exp(-0.5 * ls * (ls + 1.) * sigma_rad ** 2)
-    from . import alm as _  # noqa
-    from ..utils import alm as ualm
-    import jax.numpy as jnp
-    return _np.asarray(sht.alm2map(ualm.almxfl(alm, lmax, jnp.asarray(bl))))
+    alm = sht.map2alm(np.asarray(m))
+    ls = np.arange(lmax + 1)
+    bl = np.exp(-0.5 * ls * (ls + 1.) * sigma_rad ** 2)
+    return np.asarray(sht.alm2map(ualm.almxfl(alm, lmax, bl)))
 
 
 def apodize_mask(mask, geom, sigma_arcmin=12., lmax=None, method='hybrid',
@@ -161,18 +158,17 @@ def apodize_mask(mask, geom, sigma_arcmin=12., lmax=None, method='hybrid',
     """Apodize a binary mask for pseudo-CL use (reference: plancklens/utils.py:268-305):
     Gaussian smoothing, or the hybrid scheme (enlarge + truncate + re-smooth) that mostly
     smooths outside the existing mask."""
-    import numpy as _np
     if not sigma_arcmin:
         return mask
-    sigma_rad = sigma_arcmin / 180. / 60. * _np.pi
+    sigma_rad = sigma_arcmin / 180. / 60. * np.pi
     ap = smooth_map(mask, geom, sigma_rad, lmax=lmax)
     if method == 'gaussian':
         return ap
     if method != 'hybrid':
         raise ValueError('Unknown apodization method ' + method)
-    ap = 1 - _np.minimum(1., _np.maximum(0., mult_factor * (1 - ap) - min_factor))
+    ap = 1 - np.minimum(1., np.maximum(0., mult_factor * (1 - ap) - min_factor))
     ap = smooth_map(ap, geom, sigma_rad / 2, lmax=lmax)
     if verbose:
-        w = _np.outer(geom.weight, _np.full(geom.nphi, 1. / geom.nphi)) / 2.
-        print('apodize_mask: fsky = %.4f' % _np.sum(w * ap ** 2))
+        w = np.outer(geom.weight, np.full(geom.nphi, 1. / geom.nphi)) / 2.
+        print('apodize_mask: fsky = %.4f' % np.sum(w * ap ** 2))
     return ap

@@ -85,11 +85,25 @@ def _tform_to_dtype(tform):
     return np.dtype(base), rep
 
 
+def _open_fits(path):
+    """Seekable binary reader for a FITS file, transparently gunzipping '.fits.gz'
+    (or any gzip-magic) input — Planck masks ship gzipped and the header parser
+    needs tell/seek, so gzip members are decompressed into memory first."""
+    import io
+    with open(path, 'rb') as f:
+        head = f.read(2)
+    if head == b'\x1f\x8b':
+        import gzip
+        with gzip.open(path, 'rb') as g:
+            return io.BytesIO(g.read())
+    return open(path, 'rb')
+
+
 def read_bintables(path):
     """All BINTABLE HDUs of a FITS file -> list of (header, {name: column}) pairs.
     Vector columns come back as (nrows, rep) arrays, scalar columns as (nrows,)."""
     out = []
-    with open(path, 'rb') as f:
+    with _open_fits(path) as f:
         primary = _parse_header_blocks(f)
         if not primary.get('SIMPLE', False):
             raise IOError('%s: not a FITS file' % path)
