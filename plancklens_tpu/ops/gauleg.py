@@ -45,16 +45,18 @@ def _gauleg_newton(n):
 def gauleg(n):
     """n-point Gauss-Legendre nodes (ascending in x = cos(theta)) and weights, float64.
 
-    Dispatch: scipy's O(N) C kernel when present, else the C++/OpenMP Newton kernel
-    (plancklens_tpu.native, role of reference plancklens/wigners/wigners.f90:132-184),
-    else the pure-numpy Newton iteration."""
+    Dispatch: the C++/OpenMP vectorised-Newton kernel when built (plancklens_tpu.native,
+    role of reference plancklens/wigners/wigners.f90:132-184 `get_xgwg`; measured 22x
+    faster than scipy at N=10,000 single-core AND more accurate — mpmath-verified edge
+    weights 9.6e-13 vs scipy's 2.9e-9 relative, docs/PERF.md), else scipy, else the
+    pure-numpy Newton iteration."""
     assert n >= 1, n
-    if _scipy_roots is not None:
-        x, w = _scipy_roots(n)
-        return np.asarray(x, dtype=np.float64), np.asarray(w, dtype=np.float64)
     from .. import native
     if native.have_native():
         return native.gauleg(n)
+    if _scipy_roots is not None:
+        x, w = _scipy_roots(n)
+        return np.asarray(x, dtype=np.float64), np.asarray(w, dtype=np.float64)
     return _gauleg_newton(n)
 
 

@@ -15,11 +15,21 @@ pytestmark = pytest.mark.skipif(not native.have_native(),
 
 
 def test_native_gauleg_matches_scipy():
-    for n in (1, 7, 64, 257):
+    from scipy.special import roots_legendre
+    for n in (1, 2, 7, 64, 257, 1024):
         x, w = native.gauleg(n)
-        xr, wr = gauleg(n)  # scipy path in this environment
-        assert np.allclose(x, xr, atol=1e-13) and np.allclose(w, wr, atol=1e-13)
-        assert abs(np.sum(w) - 2.0) < 1e-12
+        xr, wr = roots_legendre(n)
+        # scipy is the sanity anchor, not truth: its own edge weights are only
+        # ~3e-9 relative (mpmath-verified; ours are ~1e-12, docs/PERF.md)
+        assert np.allclose(x, xr, atol=5e-15) and np.allclose(w, wr, atol=1e-12)
+        assert abs(np.sum(w) - 2.0) < 5e-14
+        # truth-based: exact integration of monomials up to degree 2n-1
+        for k in {2, 7, min(2 * n - 1, 31)}:
+            if k <= 2 * n - 1:
+                exact = 0.0 if k % 2 else 2.0 / (k + 1)
+                assert abs(np.sum(w * x ** k) - exact) < 5e-14, (n, k)
+        # mirror symmetry is exact by construction
+        assert np.array_equal(x, -x[::-1]) and np.array_equal(w, w[::-1])
 
 
 @pytest.mark.parametrize('s1,s2', [(0, 0), (2, 2), (2, -2), (2, 0), (3, 1), (-2, 2)])
