@@ -19,3 +19,30 @@ def enumerate_progress(seq, label=''):
         sys.stderr.flush()
     if n:
         sys.stderr.write('\n')
+
+
+def _fmt_dt(seconds):
+    s = int(seconds)
+    return '%d:%02d:%02d' % (s // 3600, (s // 60) % 60, s % 60)
+
+
+class stopwatch:
+    """Wall-clock timer with total/lap readouts as h:mm:ss strings (role of
+    reference plancklens/qcinv/util.py:21-36, used by CG monitors)."""
+
+    def __init__(self):
+        import time
+        self._time = time.time
+        self._t0 = self._time()
+        self._tl = self._t0
+
+    def lap(self):
+        now = self._time()
+        out = (_fmt_dt(now - self._t0), _fmt_dt(now - self._tl))
+        self._tl = now
+        return out
+
+    def elapsed(self):
+        now = self._time()
+        self._tl = now
+        return _fmt_dt(now - self._t0)

@@ -172,3 +172,26 @@ def apodize_mask(mask, geom, sigma_arcmin=12., lmax=None, method='hybrid',
         w = np.outer(geom.weight, np.full(geom.nphi, 1. / geom.nphi)) / 2.
         print('apodize_mask: fsky = %.4f' % np.sum(w * ap ** 2))
     return ap
+
+
+def cls2dls(cls):
+    """Cls dict -> (CAMB-layout (lmax+1, 4) D_l array, deflection D-spectrum) —
+    the interchange format of the iterative-forecast loop (role of reference
+    plancklens/nhl.py:191-205)."""
+    lmax = np.max([len(cl) for cl in cls.values()]) - 1
+    fac = np.arange(lmax + 1) * np.arange(1, lmax + 2, dtype=float) / (2. * np.pi)
+    dls = np.zeros((lmax + 1, 4), dtype=float)
+    for i, k in enumerate(('tt', 'ee', 'bb', 'te')):
+        cl = extcl(lmax, np.asarray(cls.get(k, np.zeros(1))))
+        dls[:, i] = cl * fac
+    cldd = clpp_to_cldd(cls['pp']) if 'pp' in cls else None
+    return dls, cldd
+
+
+def dls2cls(dls):
+    """Inverse of :func:`cls2dls` for the four TEB spectra (reference
+    plancklens/nhl.py:207-214)."""
+    assert dls.shape[1] == 4, dls.shape
+    lmax = dls.shape[0] - 1
+    fac = 2. * np.pi * cli(np.arange(lmax + 1) * np.arange(1, lmax + 2, dtype=float))
+    return {k: dls[:, i] * fac for i, k in enumerate(('tt', 'ee', 'bb', 'te'))}

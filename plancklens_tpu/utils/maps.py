@@ -62,3 +62,19 @@ def projectmap(rmap, geom, lcell_amin, npts, lon_lat=(0., -45.)):
     out = ((1 - wt) * ((1 - wp) * rmap[it, ip] + wp * rmap[it, (ip + 1) % nphi])
            + wt * ((1 - wp) * rmap[it + 1, ip] + wp * rmap[it + 1, (ip + 1) % nphi]))
     return out[::-1]  # 'astro' flip, as the reference projector
+
+
+def mask_hash(spec, dtype=bool):
+    """Stable hash token for a map spec in cache keys (role of reference
+    plancklens/qcinv/util.py:81-95): path specs hash by sanitized name, arrays by
+    value (clhash with the given cast), lists concatenate, None/'callable' literal."""
+    from .hashing import clhash
+    if spec is None:
+        return 'none'
+    if isinstance(spec, (list, tuple)):
+        return ''.join(mask_hash(s, dtype=dtype) for s in spec)
+    if isinstance(spec, str):
+        return spec.replace('/', '_sl_').replace('.', '_')
+    if callable(spec):
+        return 'callable'
+    return clhash(np.asarray(spec), dtype=dtype)

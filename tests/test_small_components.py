@@ -116,3 +116,35 @@ def test_projectmap():
     expect = np.cos(th0) + 0.3 * np.sin(th0)
     assert abs(out[npts // 2, npts // 2] - expect) < 1e-3
     assert np.all(np.isfinite(out))
+
+
+def test_stopwatch_mask_hash_cls2dls_parity_helpers():
+    """The small reference-parity helpers: qcinv/util.py stopwatch + mask_hash and
+    nhl.py cls2dls/dls2cls interchange (reference: plancklens/qcinv/util.py:21-36,
+    81-95; plancklens/nhl.py:191-214)."""
+    import numpy as np
+    from plancklens_tpu.utils import stopwatch
+    from plancklens_tpu.utils.maps import mask_hash
+    from plancklens_tpu.utils.cls import cls2dls, dls2cls
+
+    sw = stopwatch()
+    tot, lap = sw.lap()
+    assert tot.count(':') == 2 and lap.count(':') == 2
+    assert sw.elapsed().count(':') == 2
+
+    assert mask_hash(None) == 'none'
+    assert mask_hash('maps/mask.fits.gz') == 'maps_sl_mask_fits_gz'
+    assert mask_hash(lambda: 1) == 'callable'
+    a, b = np.ones(16), np.zeros(16)
+    assert mask_hash(a) != mask_hash(b)
+    assert mask_hash([a, 'x.y']) == mask_hash(a) + 'x_y'
+
+    cls = {'tt': np.arange(1, 12.), 'te': -np.ones(11), 'pp': np.ones(11)}
+    dls, cldd = cls2dls(cls)
+    assert dls.shape == (11, 4)
+    back = dls2cls(dls)
+    assert np.allclose(back['tt'][1:], cls['tt'][1:]) and np.allclose(back['ee'], 0.)
+    assert np.allclose(back['te'][1:], -1.)
+    ls = np.arange(11.)
+    assert np.allclose(cldd, (ls * (ls + 1.)) ** 2 / (2. * np.pi))
+    assert cls2dls({'tt': np.ones(4)})[1] is None  # no pp -> no deflection spectrum
