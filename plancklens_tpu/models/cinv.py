@@ -1028,6 +1028,151 @@ class CinvTP:
         extras = ((it, rel) if ret_it else ()) + ((x,) if ret_wf else ())
         return (out,) + extras if extras else out
 
+    def get_fal(self):
+        """Isotropic approximation to the joint 3x3 filtering matrix, per multipole
+        (reference: plancklens/filt/filt_cinv.py:446-475 cinv_tp._calc_fal): fiducial
+        signal covariance plus the mean white-noise level seen through the beam,
+        pseudo-inverted per l. Returned as a dict of the nonzero entries ('tt', 'te',
+        'ee', 'bb', ...), directly consumable as a qresp/nhl fal argument or by
+        models.filt.IVFJTP."""
+        lmax = self.lmax
+        fals = np.zeros((lmax + 1, 3, 3))
+        for k, i, j in [('tt', 0, 0), ('te', 0, 1), ('tb', 0, 2), ('ee', 1, 1),
+                        ('eb', 1, 2), ('bb', 2, 2)]:
+            if k in self.cls:
+                fals[:, i, j] = np.asarray(self.cls[k])[:lmax + 1]
+                fals[:, j, i] = fals[:, i, j]
+        nt = self.filt.nlev_ftl / 60. / 180. * np.pi
+        npol = self.filt.nlev_fpl / 60. / 180. * np.pi
+        ibl2 = cli(self.transf ** 2)
+        fals[1:, 0, 0] += nt ** 2 * ibl2[1:]
+        fals[2:, 1, 1] += npol ** 2 * ibl2[2:]
+        fals[2:, 2, 2] += npol ** 2 * ibl2[2:]
+        F = np.linalg.pinv(fals)
+        out = {}
+        for i, a in enumerate('teb'):
+            for j, b in enumerate('teb'[i:]):
+                if np.any(F[:, i, i + j]):
+                    out[a + b] = F[:, i, i + j]
+        return out
+
+    def get_ftl(self):
+        return self.get_fal()['tt']
+
+    def get_fel(self):
+        return self.get_fal()['ee']
+
+    def get_fbl(self):
+        return self.get_fal()['bb']
+
+    def get_fmask(self):
+        """Joint mask: pixels unmasked in BOTH the T and P inverse-variance maps
+        (reference: filt_cinv.py:477-482 calc_mask). Only the QQ/UU diagonals gate the
+        pol mask — QU is legitimately zero on unmasked pixels."""
+        qq, _, uu = self.filt.filt_p.ninv
+        return np.where((self.filt.filt_t.ninv > 0) & (qq > 0) & (uu > 0), 1., 0.)
+
+
+class IVFCinvJTP:
+    """ivfs-interface adapter over a joint CinvTP filter of a map-space sim library
+    (reference: plancklens/filt/filt_cinv.py:585-626 library_cinv_jTP): one coupled
+    T/E/B CG solve per sim feeds all three bar-alm accessors, with TE mixing handled
+    inside the 3x3 operator rather than by separate T and P chains.
+
+    `cacher` persists the filtered alms; `soltn_cacher` persists the raw CG solution
+    so re-runs warm-start the solver (role of the reference's soltn_lib)."""
+
+    def __init__(self, cinv_tp, sim_lib, cl_weights, cacher=None, soltn_cacher=None):
+        self.cinv_tp = cinv_tp
+        self.sim_lib = sim_lib
+        self.cl = cl_weights
+        self._cache = {}
+        self.cacher = cacher
+        self.soltn_cacher = soltn_cacher
+
+    def hashdict(self):
+        return {'cinv_tp': self.cinv_tp.hashdict(), 'sims': self.sim_lib.hashdict(),
+                **{'clw_' + k: clhash(np.asarray(v)) for k, v in sorted(self.cl.items())}}
+
+    def get_fal(self):
+        return self.cinv_tp.get_fal()
+
+    def get_ftl(self):
+        return self.cinv_tp.get_ftl()
+
+    def get_fel(self):
+        return self.cinv_tp.get_fel()
+
+    def get_fbl(self):
+        return self.cinv_tp.get_fbl()
+
+    def get_tal(self, a):
+        assert a.lower() in ['t', 'e', 'b']
+        return cli(self.cinv_tp.transf)
+
+    def get_fmask(self):
+        return self.cinv_tp.get_fmask()
+
+    def _teb(self, idx):
+        key = ('teb', idx)
+        if key not in self._cache:
+            fns = ['ivf_%slm_%05d' % (a, idx) for a in 'teb']
+            # gate on all three files so a crash mid-write falls back to recompute
+            if self.cacher is not None and all(self.cacher.is_cached(f) for f in fns):
+                self._cache[key] = tuple(np.asarray(self.cacher.load(f)) for f in fns)
+            else:
+                tmap = self.sim_lib.get_sim_tmap(idx)
+                q, u = self.sim_lib.get_sim_pmap(idx)
+                sol = None
+                if self.soltn_cacher is not None \
+                        and self.soltn_cacher.is_cached('wf_tp_%05d' % idx):
+                    sol = jnp.asarray(self.soltn_cacher.load('wf_tp_%05d' % idx))
+                (t, e, b), x = self.cinv_tp.apply_ivf(tmap, q, u, x0=sol, ret_wf=True)
+                if self.soltn_cacher is not None:
+                    self.soltn_cacher.cache('wf_tp_%05d' % idx, np.asarray(x))
+                self._cache[key] = tuple(np.asarray(a)[0] for a in (t, e, b))
+                if self.cacher is not None:
+                    for f, arr in zip(fns, self._cache[key]):
+                        self.cacher.cache(f, arr)
+        return self._cache[key]
+
+    def get_sim_tlm(self, idx):
+        return jnp.asarray(self._teb(idx)[0])
+
+    def get_sim_elm(self, idx):
+        return jnp.asarray(self._teb(idx)[1])
+
+    def get_sim_blm(self, idx):
+        return jnp.asarray(self._teb(idx)[2])
+
+    def get_sim_teblm_batch(self, idxs):
+        outs = [self._teb(int(i)) for i in np.atleast_1d(idxs)]
+        return tuple(jnp.stack([o[i] for o in outs]) for i in range(3))
+
+    def _wiener(self, idx, row):
+        """Joint Wiener leg: row of C_w applied to (bar t, bar e, bar b)
+        (reference: filt_simple.py:294-343 via library_jTP inheritance)."""
+        t, e, b = self._teb(idx)
+        lmax = self.cinv_tp.lmax
+        z = np.zeros(lmax + 1)
+        C = {k: np.asarray(self.cl[k])[:lmax + 1] if k in self.cl else z
+             for k in ('tt', 'te', 'ee', 'bb')}
+        rows = {'t': (C['tt'], C['te'], z), 'e': (C['te'], C['ee'], z),
+                'b': (z, z, C['bb'])}[row]
+        out = 0.
+        for cl_row, alm in zip(rows, (t, e, b)):
+            out = out + ualm.almxfl(jnp.asarray(alm), lmax, jnp.asarray(cl_row))
+        return out
+
+    def get_sim_tmliklm(self, idx):
+        return self._wiener(idx, 't')
+
+    def get_sim_emliklm(self, idx):
+        return self._wiener(idx, 'e')
+
+    def get_sim_bmliklm(self, idx):
+        return self._wiener(idx, 'b')
+
 
 def degrade_ninv(ninv, geom_fine, geom_coarse, lmax_interp=None):
     """Restrict an inverse pixel-variance map to a coarser ring geometry: interpolate the

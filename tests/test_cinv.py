@@ -515,3 +515,105 @@ def test_pcg_zero_rhs_row_stays_finite_f32():
     assert not np.any(x[0])
     assert np.abs(x[1] - b[1] / diag).max() < 1e-5 * np.abs(b[1]).max()
     assert np.all(np.isfinite(np.asarray(rel)))
+
+
+def test_ivf_cinv_jtp_adapter():
+    """IVFCinvJTP (reference library_cinv_jTP, filt_cinv.py:585-626): the ivfs adapter
+    over the joint CinvTP solve. Checks the bar alms against a direct apply_ivf call,
+    the get_fal isotropic matrix (homogeneous limit: must invert S+N exactly, TE
+    included), the alm cacher round trip, and the joint Wiener legs."""
+    from plancklens_tpu.models.cinv import CinvTP, IVFCinvJTP
+    from plancklens_tpu.utils.cachers import cacher_mem
+    lmax = 32
+    cls = camb_clfile(os.path.join(plancklens_tpu.DATAPATH, 'cls',
+                                   'FFP10_wdipole_lensedCls.dat'), lmax=lmax)
+    geom = gl_geometry(lmax)
+    sht = SHT(geom, lmax)
+    nlev_t, nlev_p = 30., 40.
+    st = (nlev_t / 60. / 180. * np.pi)
+    sp = (nlev_p / 60. / 180. * np.pi)
+    omega = np.outer(geom.weight, np.full(geom.nphi, 2 * np.pi / geom.nphi))
+    rng = np.random.RandomState(7)
+    ls, ms = ualm._lm_indices(lmax)
+
+    def ralm(cl, seed):
+        r = np.random.RandomState(seed)
+        a = (r.standard_normal(len(ls)) + 1j * r.standard_normal(len(ls))) / np.sqrt(2.)
+        a[ms == 0] = a[ms == 0].real * np.sqrt(2.)
+        return a * np.sqrt(cl[ls])
+
+    tlm, elm, blm = ralm(cls['tt'], 1), ralm(cls['ee'], 2), ralm(cls['bb'], 3)
+    elm[ls < 2] = 0.
+    blm[ls < 2] = 0.
+    T = np.asarray(sht.alm2map(tlm)) + rng.standard_normal(omega.shape) * st / np.sqrt(omega)
+    q, u = sht.alm2map_spin((elm, blm), 2)
+    Q = np.asarray(q) + rng.standard_normal(omega.shape) * sp / np.sqrt(omega)
+    U = np.asarray(u) + rng.standard_normal(omega.shape) * sp / np.sqrt(omega)
+
+    cinv = CinvTP(lmax, geom, cls, np.ones(lmax + 1), 1. / (st ** 2 / omega),
+                  1. / (sp ** 2 / omega), eps_min=1e-7, iter_max=400)
+
+    class _OneSim:
+        def get_sim_tmap(self, idx):
+            assert idx == 0
+            return T
+
+        def get_sim_pmap(self, idx):
+            assert idx == 0
+            return Q, U
+
+        def hashdict(self):
+            return {'sims': 'one'}
+
+    cacher = cacher_mem()
+    ivfs = IVFCinvJTP(cinv, _OneSim(), cls, cacher=cacher)
+
+    # bar alms == the direct joint solve
+    (bt, be, bb_), = (cinv.apply_ivf(T, Q, U),)
+    for got, exp in zip([ivfs.get_sim_tlm(0), ivfs.get_sim_elm(0), ivfs.get_sim_blm(0)],
+                        [bt, be, bb_]):
+        assert np.allclose(np.asarray(got), np.asarray(exp)[0], rtol=1e-6, atol=0.), \
+            np.abs(np.asarray(got) - np.asarray(exp)[0]).max()
+
+    # second library instance must hit the cacher, not re-solve
+    class _NoSim:
+        def get_sim_tmap(self, idx):
+            raise AssertionError('should have been served from the cacher')
+        get_sim_pmap = get_sim_tmap
+
+        def hashdict(self):
+            return {'sims': 'one'}
+
+    ivfs2 = IVFCinvJTP(cinv, _NoSim(), cls, cacher=cacher)
+    assert np.allclose(np.asarray(ivfs2.get_sim_tlm(0)), np.asarray(bt)[0])
+
+    # homogeneous limit: get_fal == per-l pinv of (S + N/b^2) including the TE block
+    fal = ivfs.get_fal()
+    assert set(fal) >= {'tt', 'te', 'ee', 'bb'}, sorted(fal)
+    S = np.zeros((lmax + 1, 3, 3))
+    S[:, 0, 0] = cls['tt'][:lmax + 1] + st ** 2
+    S[:, 0, 1] = S[:, 1, 0] = cls['te'][:lmax + 1]
+    S[:, 1, 1] = cls['ee'][:lmax + 1] + sp ** 2
+    S[:, 2, 2] = cls['bb'][:lmax + 1] + sp ** 2
+    # noise only enters above the marged monopole (T) / l<2 null space (P), as in the
+    # reference _calc_fal; compare where the matrix is complete
+    F = np.linalg.pinv(S[2:])
+    assert np.allclose(fal['tt'][2:], F[:, 0, 0], rtol=1e-6)
+    assert np.allclose(fal['te'][2:], F[:, 0, 1], rtol=1e-6)
+    assert np.allclose(fal['ee'][2:], F[:, 1, 1], rtol=1e-6)
+    assert np.allclose(fal['bb'][2:], F[:, 2, 2], rtol=1e-6)
+    assert np.allclose(ivfs.get_ftl()[2:], F[:, 0, 0], rtol=1e-6)
+
+    # joint Wiener legs mix T and E through the te weight
+    wt = np.asarray(ivfs.get_sim_tmliklm(0))
+    expect = np.asarray(ualm.almxfl(jnp_asarray(bt)[0], lmax, cls['tt'][:lmax + 1])
+                        + ualm.almxfl(jnp_asarray(be)[0], lmax, cls['te'][:lmax + 1]))
+    assert np.allclose(wt, expect, rtol=1e-6)
+
+    # mask: all-positive ninv -> all ones
+    assert np.all(ivfs.get_fmask() == 1.)
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+    return jnp.asarray(np.asarray(x))
