@@ -1174,6 +1174,80 @@ class IVFCinvJTP:
         return self._wiener(idx, 'b')
 
 
+def parse_pre_op_descr(descr, cinv, dense_cacher=None, stages=None):
+    """Build a CG preconditioner from the reference's descriptor-string grammar
+    (reference: plancklens/qcinv/multigrid.py:163-210 parse_pre_op_descr), against an
+    existing CinvT / CinvP / CinvTP / CinvKK solver object:
+
+      - ``diag_cl``                  the solver's diagonal preconditioner
+      - ``dense`` / ``dense(key)``   dense low-l block over the enclosing band limit
+                                     (analytic for T-like solvers, batched-probed for
+                                     the stacked P / TEB operators); a non-empty
+                                     ``key`` names the entry in `dense_cacher`
+      - ``split(low, lsplit, high)`` `low` built at band limit lsplit, `high` above
+      - ``stage(i)``                 entry i of `stages` (prebuilt pre-ops, e.g. from
+                                     make_multigrid_pre_op)
+
+    e.g. the reference's production T chain descriptor ``split(dense(""), 64, diag_cl)``
+    reproduces exactly what ``CinvT(..., lmax_dense=64)`` wires by construction."""
+    import re
+    descr = descr.strip()
+    m = re.match(r'split\((.*),\s*([0-9]+),\s*(.*)\)\Z', descr)
+    if m:
+        low_descr, lsplit, high_descr = m.group(1), int(m.group(2)), m.group(3)
+        low = _parse_pre_op_at(low_descr, cinv, lsplit, dense_cacher, stages)
+        high = _parse_pre_op_at(high_descr, cinv, cinv.lmax, dense_cacher, stages)
+        return split_pre_op(low, high, min(lsplit, cinv.lmax), cinv.lmax)
+    return _parse_pre_op_at(descr, cinv, cinv.lmax, dense_cacher, stages)
+
+
+def _parse_pre_op_at(descr, cinv, ctx_lmax, dense_cacher, stages):
+    """One descriptor at an enclosing band limit (the role of the lmax kwarg the
+    reference threads through nested parse_pre_op_descr calls)."""
+    import re
+    descr = descr.strip()
+    if re.match(r'split\(', descr):
+        return parse_pre_op_descr(descr, cinv, dense_cacher=dense_cacher, stages=stages)
+    if descr == 'diag_cl':
+        return cinv.pre_diag
+    m = re.match(r'dense(?:\((.*)\))?\Z', descr)
+    if m:
+        ld = min(ctx_lmax, cinv.lmax)
+        key = m.group(1) or None
+        if isinstance(cinv, CinvP):
+            if key is None:
+                key = _dense_cache_key('pp', ld, cinv.lmax,
+                                       list(cinv.filt.ninv)
+                                       + [cinv.cl['ee'][:cinv.lmax + 1],
+                                          cinv.cl['bb'][:cinv.lmax + 1], cinv.transf,
+                                          cinv.filt.templates.ravel(),
+                                          [float(cinv.filt.templates.shape[0])]])
+            return dense_pre_op_stacked(cinv.fwd_op, ld, cinv.lmax, 2,
+                                        cacher=dense_cacher, cache_key=key)
+        if isinstance(cinv, CinvTP):
+            if key is None:
+                key = _dense_cache_key('tp', ld, cinv.lmax,
+                                       [cinv.filt.filt_t.ninv] + list(cinv.filt.filt_p.ninv)
+                                       + [np.asarray(cinv.cls[k])[:cinv.lmax + 1]
+                                          for k in sorted(cinv.cls)] + [cinv.transf])
+            return dense_pre_op_stacked(cinv.fwd_op, ld, cinv.lmax, 3,
+                                        cacher=dense_cacher, cache_key=key)
+        # T-like (CinvT and its CinvKK subclass): the analytic f64 assembly
+        if key is None:
+            key = _dense_cache_key('tta', ld, cinv.lmax,
+                                   [cinv.filt.ninv, cinv.cl['tt'][:cinv.lmax + 1],
+                                    cinv.transf, cinv.filt.templates.ravel(),
+                                    [float(cinv.filt.templates.shape[0])]])
+        bdl = cinv.transf[:cinv.lmax + 1] * cli(cinv.rescal_cl)
+        return dense_pre_op_analytic_t(cinv.filt, ld, cinv.lmax, cinv.dl, bdl,
+                                       cacher=dense_cacher, cache_key=key)
+    m = re.match(r'stage\((.*)\)\Z', descr)
+    if m:
+        assert stages is not None, 'stage(%s) needs the stages argument' % m.group(1)
+        return stages[int(m.group(1))]
+    raise ValueError('pre_op descriptor %r is unrecognized' % descr)
+
+
 def degrade_ninv(ninv, geom_fine, geom_coarse, lmax_interp=None):
     """Restrict an inverse pixel-variance map to a coarser ring geometry: interpolate the
     per-steradian inverse variance spectrally and convert back to per-pixel units

@@ -617,3 +617,28 @@ def test_ivf_cinv_jtp_adapter():
 def jnp_asarray(x):
     import jax.numpy as jnp
     return jnp.asarray(np.asarray(x))
+
+
+def test_parse_pre_op_descr_matches_builtin_wiring():
+    """The reference chain-descriptor grammar (multigrid.py:163-210): the production T
+    descriptor 'split(dense, 24, diag_cl)' must build the exact operator CinvT wires
+    by construction with lmax_dense=24, and the error/diag/stage branches behave."""
+    from plancklens_tpu.models.cinv import CinvT, parse_pre_op_descr
+    cls = _cls()
+    geom = gl_geometry(LMAX)
+    omega = np.outer(geom.weight, np.full(geom.nphi, 2 * np.pi / geom.nphi))
+    sig_st = (30. / 60. / 180. * np.pi)
+    ninv = (1. / (sig_st ** 2 / omega)) * (np.abs(np.cos(geom.theta))[:, None] < 0.8)
+    transf = np.ones(LMAX + 1)
+    built = CinvT(LMAX, geom, cls, transf, ninv, lmax_dense=24)
+    plain = CinvT(LMAX, geom, cls, transf, ninv, lmax_dense=0)
+    parsed = parse_pre_op_descr('split(dense, 24, diag_cl)', plain)
+    r = _random_tlm(cls, seed=5)
+    got, exp = np.asarray(parsed(r[None])), np.asarray(built.pre_op(r[None]))
+    assert np.allclose(got, exp, rtol=1e-6, atol=0.), np.abs(got - exp).max()
+    # bare descriptors
+    assert parse_pre_op_descr('diag_cl', plain) is plain.pre_diag
+    stage = parse_pre_op_descr('stage(0)', plain, stages=[plain.pre_diag])
+    assert stage is plain.pre_diag
+    with pytest.raises(ValueError):
+        parse_pre_op_descr('nonsense', plain)
