@@ -96,9 +96,13 @@ class NinvFilterT:
             self.PtNP_inv = np.asarray(eigw @ np.diag(cli(eigv)) @ eigw.T)
         else:
             self.PtNP_inv = None
-        # average noise level for the diagonal preconditioner and effective ftl
-        # (reference: opfilt_tt.py:155-158)
-        self.nlev_ftl = 10800. / np.sqrt(np.sum(self.ninv) / (4. * np.pi)) / np.pi
+        # average noise level over the UNMASKED sky for the effective ftl: the
+        # reference normalises by the unmasked pixel count (filt_cinv.py:455-458
+        # _calc_fal nnz), i.e. nlev_rad^2 = Omega_unmasked / sum(ninv); a full-sky
+        # normalisation would inflate the level by 1/f_sky for any masked ninv
+        omega_nnz = float(np.sum(omega[self.ninv > 0]))
+        self.nlev_ftl = 10800. / np.sqrt(np.sum(self.ninv) / max(omega_nnz, 1e-300)) \
+            / np.pi
 
     def hashdict(self):
         return {'ninv': clhash(self.ninv), 'b_transf': clhash(self.b_transf),
@@ -537,7 +541,10 @@ class NinvFilterP:
         omega = np.outer(geom.weight, np.full(geom.nphi, 2. * np.pi / geom.nphi))
         self._omega = np.asarray(omega)
         self._st = tuple(np.asarray(m / omega) for m in self.ninv)
-        self.nlev_ftl = 10800. / np.sqrt(np.sum(0.5 * (qq + uu)) / (4. * np.pi)) / np.pi
+        # unmasked-sky normalisation, as for the T filter (reference filt_cinv.py:455-458)
+        omega_nnz = float(np.sum(omega[(qq > 0) | (uu > 0)]))
+        self.nlev_ftl = 10800. / np.sqrt(np.sum(0.5 * (qq + uu))
+                                         / max(omega_nnz, 1e-300)) / np.pi
         # (ntempl, 2, nrings, nphi) stack of QU-space template maps
         tmpl = []
         for tq in (templates_q or []):
@@ -754,16 +761,26 @@ class IVFCinv:
                 'sims': self.sim_lib.hashdict()}
 
     def get_ftl(self):
+        if self.cinv_t is None:
+            raise ValueError('pol-only IVFCinv (cinv_t=None) has no temperature ftl')
         return self.cinv_t.get_ftl()
 
     def get_fel(self):
+        if self.cinv_p is None:
+            raise ValueError('T-only IVFCinv (cinv_p=None) has no polarisation fel')
         return self.cinv_p.get_fel()
 
     def get_fbl(self):
+        if self.cinv_p is None:
+            raise ValueError('T-only IVFCinv (cinv_p=None) has no polarisation fbl')
         return self.cinv_p.get_fbl()
 
     def get_tal(self, a):
-        return cli(self.cinv_t.transf if a == 't' else self.cinv_p.transf)
+        cinv = self.cinv_t if a == 't' else self.cinv_p
+        if cinv is None:
+            raise ValueError('IVFCinv has no %s sub-filter: cannot return tal(%r)'
+                             % ('temperature' if a == 't' else 'polarisation', a))
+        return cli(cinv.transf)
 
     def get_fmask(self):
         # pol-only libraries (cinv_t=None) report the polarisation mask
@@ -1155,10 +1172,12 @@ class IVFCinvJTP:
         t, e, b = self._teb(idx)
         lmax = self.cinv_tp.lmax
         z = np.zeros(lmax + 1)
+        # tb/eb legs included whenever present in cl_weights, as the reference's
+        # library_jTP.get_sim_{t,e,b}mliklm does (filt_simple.py:293-342)
         C = {k: np.asarray(self.cl[k])[:lmax + 1] if k in self.cl else z
-             for k in ('tt', 'te', 'ee', 'bb')}
-        rows = {'t': (C['tt'], C['te'], z), 'e': (C['te'], C['ee'], z),
-                'b': (z, z, C['bb'])}[row]
+             for k in ('tt', 'te', 'tb', 'ee', 'eb', 'bb')}
+        rows = {'t': (C['tt'], C['te'], C['tb']), 'e': (C['te'], C['ee'], C['eb']),
+                'b': (C['tb'], C['eb'], C['bb'])}[row]
         out = 0.
         for cl_row, alm in zip(rows, (t, e, b)):
             out = out + ualm.almxfl(jnp.asarray(alm), lmax, jnp.asarray(cl_row))
@@ -1190,15 +1209,35 @@ def parse_pre_op_descr(descr, cinv, dense_cacher=None, stages=None):
 
     e.g. the reference's production T chain descriptor ``split(dense(""), 64, diag_cl)``
     reproduces exactly what ``CinvT(..., lmax_dense=64)`` wires by construction."""
-    import re
     descr = descr.strip()
-    m = re.match(r'split\((.*),\s*([0-9]+),\s*(.*)\)\Z', descr)
-    if m:
-        low_descr, lsplit, high_descr = m.group(1), int(m.group(2)), m.group(3)
+    if descr.startswith('split(') and descr.endswith(')'):
+        # balance-parse the three arguments at top-level commas (a greedy regex
+        # mis-parses a split nested in the high slot, e.g.
+        # 'split(dense, 24, split(dense, 8, diag_cl))')
+        args = _split_top_level(descr[len('split('):-1])
+        assert len(args) == 3, 'split() takes exactly 3 arguments: %r' % descr
+        low_descr, lsplit, high_descr = args[0], int(args[1]), args[2]
         low = _parse_pre_op_at(low_descr, cinv, lsplit, dense_cacher, stages)
         high = _parse_pre_op_at(high_descr, cinv, cinv.lmax, dense_cacher, stages)
         return split_pre_op(low, high, min(lsplit, cinv.lmax), cinv.lmax)
     return _parse_pre_op_at(descr, cinv, cinv.lmax, dense_cacher, stages)
+
+
+def _split_top_level(s):
+    """Split a descriptor argument list on commas at paren depth 0."""
+    parts, depth, start = [], 0, 0
+    for i, c in enumerate(s):
+        if c == '(':
+            depth += 1
+        elif c == ')':
+            depth -= 1
+            assert depth >= 0, 'unbalanced parens in descriptor: %r' % s
+        elif c == ',' and depth == 0:
+            parts.append(s[start:i].strip())
+            start = i + 1
+    assert depth == 0, 'unbalanced parens in descriptor: %r' % s
+    parts.append(s[start:].strip())
+    return parts
 
 
 def _parse_pre_op_at(descr, cinv, ctx_lmax, dense_cacher, stages):

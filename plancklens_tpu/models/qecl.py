@@ -2,8 +2,10 @@ r"""QE power spectra with mean-field subtraction.
 
 Matches the reference semantics (reference: plancklens/qecl.py:29-145): the mean-field is
 estimated from two disjoint halves of mc_sims_mf (even indices for leg A, odd for leg B) so
-the MF noise does not bias the cross-spectrum; sims in mc_sims_mf are excluded via their
-own leave-one-out treatment when requested.
+the MF noise does not bias the cross-spectrum. Requesting the spectrum of a sim inside
+mc_sims_mf raises by default (the MF leg would correlate with it, silently biasing the
+spectrum — reference qecl.py:102); pass leave_out=True to instead subtract a mean-field
+recomputed without that sim on the leg(s) containing it.
 """
 import numpy as np
 import jax.numpy as jnp
@@ -167,25 +169,48 @@ class QeClLib:
         return {'qeA': self.qeA.hashdict(), 'qeB': self.qeB.hashdict(),
                 'mc_sims_mf': mchash(self.mc_sims_mf)}
 
-    def _mf(self, leg, k):
+    def _mf(self, leg, k, exclude=None):
+        """Mean-field of one leg; `exclude` drops that sim index from the MF set
+        (the leave-one-out path of get_sim_qcl(..., leave_out=True))."""
         mcs = self.mc_sims_mf[0::2] if leg == 'A' else self.mc_sims_mf[1::2]
+        if exclude is not None:
+            mcs = mcs[mcs != exclude]
         if len(mcs) == 0:
             return None
         qlib = self.qeA if leg == 'A' else self.qeB
         return qlib.get_sim_qlm_mf(k, mcs)
 
-    def get_sim_qcl(self, k1, idx, k2=None, idx2=None):
-        """MF-subtracted QE cross-spectrum of sims idx (leg A) and idx2 (leg B)."""
+    def _check_mf_containment(self, idx, idx2, leave_out):
+        """Reference guard (plancklens/qecl.py:102): a sim inside a leg's MF half
+        correlates with that MF estimate and silently biases its spectrum."""
+        inA = idx in self.mc_sims_mf[0::2]
+        inB = idx2 in self.mc_sims_mf[1::2]
+        if (inA or inB) and not leave_out:
+            raise ValueError(
+                'sim %d is inside the mean-field set (leg %s): its qcl would be biased '
+                'by the MF-leg correlation. Use a sim outside mc_sims_mf, or pass '
+                'leave_out=True for the leave-one-out mean-field.'
+                % (idx if inA else idx2, 'A' if inA else 'B'))
+        return (idx if inA else None), (idx2 if inB else None)
+
+    def get_sim_qcl(self, k1, idx, k2=None, idx2=None, leave_out=False):
+        """MF-subtracted QE cross-spectrum of sims idx (leg A) and idx2 (leg B).
+
+        A sim inside mc_sims_mf raises unless leave_out=True, in which case the MF of
+        the leg(s) containing it is recomputed without it (leave-one-out)."""
         if k2 is None:
             k2 = k1
         if idx2 is None:
             idx2 = idx
+        exclA, exclB = self._check_mf_containment(idx, idx2, leave_out)
         fn = 'qcl_%s_%s_%04d_%04d' % (k1, k2, idx, idx2)
+        if exclA is not None or exclB is not None:
+            fn += '_loo'
         if not self.cacher.is_cached(fn):
             qA = self.qeA.get_sim_qlm(k1, idx)
             qB = self.qeB.get_sim_qlm(k2, idx2)
-            mfA = self._mf('A', k1)
-            mfB = self._mf('B', k2)
+            mfA = self._mf('A', k1, exclude=exclA)
+            mfB = self._mf('B', k2, exclude=exclB)
             if mfA is not None:
                 qA = qA - mfA
             if mfB is not None:
@@ -211,6 +236,8 @@ class QeClLib:
         if k2 is None:
             k2 = k1
         idxs = np.atleast_1d(np.asarray(idxs, dtype=int))
+        for i in idxs:
+            self._check_mf_containment(int(i), int(i), False)
         fns = ['qcl_%s_%s_%04d_%04d' % (k1, k2, i, i) for i in idxs]
         if all(self.cacher.is_cached(fn) for fn in fns):
             return np.stack([np.asarray(self.cacher.load(fn)) for fn in fns])

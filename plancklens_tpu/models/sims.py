@@ -521,14 +521,21 @@ class MapsLenNlevLib:
     def ninv_p(self):
         return 1. / self._sig_p ** 2
 
-    def _rng(self, idx, tag):
-        return np.random.RandomState((self.seed, idx + 1, tag))
+    def _noise_key(self, idx, tag):
+        """Stateless per-(sim, field) noise key: fold_in chain over (seed, idx, tag),
+        matching the package's phase-library design (models/sims.py key folding) so the
+        noise draws are device-side, reproducible and batchable. (Seed-compat note:
+        round-4 and earlier drew this noise with host numpy RandomState((seed, idx+1,
+        tag)) — same statistics, different realisations for a given seed.)"""
+        key = jax.random.fold_in(jax.random.PRNGKey(self.seed), idx + 1)
+        return jax.random.fold_in(key, tag)
 
     def get_sim_tmap(self, idx):
         tlm = self.len_lib.sht.map2alm(self.len_lib.get_sim_tmap(idx))
         tlm = ualm.almxfl(tlm, self.lmax, jnp.asarray(self.transf))
-        t = np.asarray(self.len_lib.sht.alm2map(tlm))
-        return t + self._rng(idx, 0).standard_normal(t.shape) * self._sig_t
+        t = self.len_lib.sht.alm2map(tlm)
+        noise = jax.random.normal(self._noise_key(idx, 0), t.shape, dtype=t.dtype)
+        return t + noise * jnp.asarray(self._sig_t)
 
     def get_sim_pmap(self, idx):
         elm, blm = self.len_lib.get_sim_eblm(idx)
@@ -536,6 +543,7 @@ class MapsLenNlevLib:
         elm = ualm.almxfl(elm, self.lmax, bl)
         blm = ualm.almxfl(blm, self.lmax, bl)
         q, u = self.len_lib.sht.alm2map_spin((elm, blm), 2)
-        rng = self._rng(idx, 1)
-        return (np.asarray(q) + rng.standard_normal(self._sig_p.shape) * self._sig_p,
-                np.asarray(u) + rng.standard_normal(self._sig_p.shape) * self._sig_p)
+        nq, nu = jax.random.normal(self._noise_key(idx, 1), (2,) + q.shape,
+                                   dtype=q.dtype)
+        sig = jnp.asarray(self._sig_p)
+        return q + nq * sig, u + nu * sig
