@@ -678,12 +678,29 @@ def _ns_enabled():
     return __import__('os').environ.get('PLK_SHT_NS', '1') != '0'
 
 
+def _pallas_pair_setup(spin, theta, lmax, mmax, grid_token):
+    """(t_m, t_p, interpret) for the fused Pallas pair kernels: f32 tables on the
+    northern half (the kernels are f32-only, see legendre_synth)."""
+    nh = (len(np.asarray(theta)) + 1) // 2
+    theta_half = np.asarray(theta)[:nh]
+    t_m, t_p = _pair_tables(lmax, mmax, spin, theta_half, grid_token, np.float32)
+    return t_m, t_p, jax.default_backend() == 'cpu'
+
+
 def legendre_synth_pair(Cp, Cm, spin, theta, grid_token=None, dtype=np.float64,
                         engine='xla'):
     """(Fp, Fm) = (sum_l Cp d^l_{m,-spin}, sum_l Cm d^l_{m,+spin}); Cm may be None
     (then Fm is None). Uses the fused north-south path on symmetric grids
-    (PLK_SHT_NS=0 disables, falling back to two plain scans)."""
+    (PLK_SHT_NS=0 disables, falling back to two plain scans); engine='pallas' runs
+    the VMEM-resident fused TPU kernel (f32, interpret mode on CPU backends)."""
     sym, _ = _sym_split(theta, grid_token=grid_token)
+    if sym and _ns_enabled() and engine == 'pallas':
+        from .pallas_kernel import legendre_synth_pair_pallas
+        lmax = Cp.shape[-2] - 1
+        t_m, t_p, interp = _pallas_pair_setup(spin, theta, lmax, Cp.shape[-1] - 1,
+                                              grid_token)
+        return legendre_synth_pair_pallas(Cp, Cm, spin, theta, t_m, t_p,
+                                          interpret=interp)
     if engine != 'xla' or not sym or not _ns_enabled():
         Fp = legendre_synth(Cp, -spin, theta, grid_token=grid_token, dtype=dtype,
                             engine=engine)
@@ -698,8 +715,15 @@ def legendre_synth_pair(Cp, Cm, spin, theta, grid_token=None, dtype=np.float64,
 
 def legendre_anal_pair(Qp, Qm, spin, theta, lmax, grid_token=None, dtype=np.float64,
                        engine='xla'):
-    """(A, Bc) = (sum_j Qp d^l_{m,-spin}, sum_j Qm d^l_{m,+spin}); Qm may be None."""
+    """(A, Bc) = (sum_j Qp d^l_{m,-spin}, sum_j Qm d^l_{m,+spin}); Qm may be None.
+    engine='pallas' runs the VMEM-resident fused TPU kernel on symmetric grids."""
     sym, _ = _sym_split(theta, grid_token=grid_token)
+    if sym and _ns_enabled() and engine == 'pallas':
+        from .pallas_kernel import legendre_anal_pair_pallas
+        t_m, t_p, interp = _pallas_pair_setup(spin, theta, lmax, Qp.shape[-1] - 1,
+                                              grid_token)
+        return legendre_anal_pair_pallas(Qp, Qm, spin, theta, lmax, t_m, t_p,
+                                         interpret=interp)
     if engine != 'xla' or not sym or not _ns_enabled():
         A = legendre_anal(Qp, -spin, theta, lmax, grid_token=grid_token, dtype=dtype,
                           engine=engine)

@@ -100,11 +100,16 @@ class SHT:
             dtype = np.float32
         self.dtype = dtype
         self.cdtype = np.complex128 if np.dtype(dtype) == np.float64 else np.complex64
-        # 'xla' (lax.scan engine) or 'pallas' (VMEM-resident TPU kernel, f32);
-        # default from $PLK_SHT_ENGINE so whole pipelines can switch without code changes
+        # 'xla' (lax.scan engine) or 'pallas' (VMEM-resident fused NS-pair TPU kernel,
+        # f32). Default: $PLK_SHT_ENGINE if set; otherwise 'pallas' on TPU backends for
+        # f32 transforms (the production path — the XLA scan engine is HBM-bound,
+        # docs/PERF.md) and 'xla' elsewhere (CPU interpret mode is for testing only;
+        # f64 transforms stay on the XLA engine, the kernels are f32).
         import os
         self.engine = engine if engine is not None else \
-            os.environ.get('PLK_SHT_ENGINE', 'xla')
+            os.environ.get('PLK_SHT_ENGINE', '') or \
+            ('pallas' if (jax.default_backend() == 'tpu'
+                          and np.dtype(self.dtype) == np.float32) else 'xla')
         if self.engine == 'pallas' and np.dtype(self.dtype) != np.float32:
             self.dtype = np.float32
             self.cdtype = np.complex64
