@@ -4,8 +4,10 @@ Wraps the vectorised flat-sky integrand (ops/n1kern.py): the per-L values on a s
 grid are cubic-splined with flattening weights exactly as the reference
 (n1/n1.py:235-237); composite estimator keys ('p', 'p_p', 'p_eb', ...) are weighted sums
 over fundamental key pairs (n1/n1.py:51-81). The reference distributes L values over MPI
-ranks (n1/n1.py:215-226); here the L loop is a sequence of calls into one jitted XLA
-program (and trivially shardable over the sims/device mesh).
+ranks (n1/n1.py:215-226); here the WHOLE knot vector is one XLA program
+(ops/n1kern.n1L_batch, chunk-vmapped over L), and the jointly-filtered path evaluates all
+non-zero primed-field combinations as one spec-batched program (n1L_jtp_batch) instead of
+up to 81 per-L host sequences.
 
 Array convention (inherited from the reference's Fortran interface for bit-parity):
 spectrum/filter arrays are indexed with entry [i] at multipole i+1; callers passing the
@@ -121,10 +123,12 @@ class N1Lib:
                 lminB = int(np.min([np.min(np.where(np.abs(f) > 0.)[0], initial=len(f))
                                     for f in [ftlB, felB, fblB]])) + 1
                 Ls = self._ls_grid(Lmax)
-                n1L = np.array([float(n1kern.n1L(
-                    float(L), kA, kB, k_ind, cl_kind, self.cltt, self.clte, self.clee,
+                # the whole knot vector is ONE XLA program (chunk-vmapped over L);
+                # the reference instead distributes L over MPI ranks (n1/n1.py:215-226)
+                n1L = n1kern.n1L_batch(
+                    Ls, kA, kB, k_ind, cl_kind, self.cltt, self.clte, self.clee,
                     clttfid, cltefid, cleefid, ftlA, felA, fblA, ftlB, felB, fblB,
-                    max(lminA, 1), max(lminB, 1), self.dL, self.lps)) for L in Ls])
+                    max(lminA, 1), max(lminB, 1), self.dL, self.lps)
                 ret = np.zeros(Lmax + 1)
                 ret[1:] = spline(Ls, n1L * n1_flat(Ls), s=0., ext='raise', k=3)(
                     np.arange(1, Lmax + 1) * 1.)
@@ -189,7 +193,10 @@ def get_n1_jtp(self, kA, k_ind, cl_kind, fAlmat, Lmax, kB=None, fBlmat=None,
                                    n1_flat=n1_flat)
         X, Y = kA[1:]
         I, J = kB[1:]
-        ret = 0.
+        # enumerate the non-zero primed-field combinations (reference loops them on the
+        # host, one MPI-distributed L sequence each: n1/n1.py:361-406); here ALL uncached
+        # combinations x ALL L knots evaluate as ONE spec-batched XLA program
+        combos = []
         for Xp in 'teb':
             FXXp = fAlmat.get(X + Xp, fAlmat.get(Xp + X, np.array([0.])))
             if not np.any(FXXp):
@@ -211,19 +218,23 @@ def get_n1_jtp(self, kA, k_ind, cl_kind, fAlmat, Lmax, kB=None, fBlmat=None,
                                        clhash(FYYp), clhash(FIIp), clhash(FJJp),
                                        clhash(clttfid), clhash(cltefid),
                                        clhash(cleefid), str(Lmax)])
-                        if not self.cacher.is_cached(fn):
-                            Ls = self._ls_grid(Lmax)
-                            n1L = np.array([float(n1kern.n1L_jtp(
-                                float(L), kA, kB, Xp, Yp, Ip, Jp, k_ind, cl_kind,
-                                self.cltt, self.clte, self.clee, clttfid, cltefid,
-                                cleefid, FXXp, FYYp, FIIp, FJJp, 1, 1, self.dL,
-                                self.lps)) for L in Ls])
-                            out = np.zeros(Lmax + 1)
-                            out[1:] = spline(Ls, n1L * n1_flat(Ls), s=0., ext='raise',
-                                             k=3)(np.arange(1, Lmax + 1) * 1.)
-                            out[1:] *= cli(n1_flat(np.arange(1, Lmax + 1) * 1.))
-                            self.cacher.cache(fn, out)
-                        ret = ret + np.asarray(self.cacher.load(fn))
+                        combos.append((fn, Xp + Yp + Ip + Jp, FXXp, FYYp, FIIp, FJJp))
+        todo = [c for c in combos if not self.cacher.is_cached(c[0])]
+        if todo:
+            Ls = self._ls_grid(Lmax)
+            n1mat = n1kern.n1L_jtp_batch(
+                Ls, kA, kB, [c[1:] for c in todo], k_ind, cl_kind,
+                self.cltt, self.clte, self.clee, clttfid, cltefid, cleefid,
+                1, 1, self.dL, self.lps)
+            ells = np.arange(1, Lmax + 1) * 1.
+            for (fn, _f, _x, _y, _i, _j), n1L in zip(todo, n1mat):
+                out = np.zeros(Lmax + 1)
+                out[1:] = spline(Ls, n1L * n1_flat(Ls), s=0., ext='raise', k=3)(ells)
+                out[1:] *= cli(n1_flat(ells))
+                self.cacher.cache(fn, out)
+        ret = 0.
+        for c in combos:
+            ret = ret + np.asarray(self.cacher.load(c[0]))
         return ret
     if kA in estimator_keys_derived or kB in estimator_keys_derived:
         ret = 0.

@@ -185,3 +185,68 @@ def test_n1_jtp_diagonal_limit_matches_sep():
     jtp_diag = lib.get_n1_jtp('ptt', 'p', clpp, {'tt': ftl}, Lmax)
     jtp_te = lib.get_n1_jtp('ptt', 'p', clpp, {'tt': ftl, 'te': 0.3 * ftl}, Lmax)
     assert not np.allclose(jtp_te, jtp_diag)
+
+
+def test_wf_coded_matches_static():
+    """The data-driven coefficient-coded weight evaluator must reproduce the static-key
+    weight functions bit-for-bit for every source x field-pair key (this is what makes
+    the jtp combination batch one vmappable XLA program)."""
+    import jax.numpy as jnp
+    rng = np.random.RandomState(0)
+    shp = (7, 5)
+    l1x, l2x, l1y, l2y = [jnp.asarray(rng.uniform(-300, 300, shp)) for _ in range(4)]
+    l1i = jnp.asarray(rng.randint(1, 400, shp))
+    l2i = jnp.asarray(rng.randint(1, 400, shp))
+    cltt, clte, clee = [jnp.asarray(rng.standard_normal(400)) for _ in range(3)]
+    for src in 'pxsf':
+        for pair in ('tt', 'te', 'et', 'tb', 'bt', 'ee', 'eb', 'be', 'bb'):
+            k = src + pair
+            a = np.asarray(n1kern._wf(k, l1x, l2x, l1y, l2y, l1i, l2i,
+                                      cltt, clte, clee))
+            b = np.asarray(n1kern._wf_coded(jnp.asarray(n1kern.wf_code(k)),
+                                            l1x, l2x, l1y, l2y, l1i, l2i,
+                                            cltt, clte, clee))
+            assert np.allclose(a, b, rtol=1e-12, atol=1e-12), k
+
+
+def test_n1L_batch_matches_per_L():
+    """The one-program chunk-vmapped knot vector must equal the per-L kernel calls."""
+    rng = np.random.RandomState(0)
+    lmax, dL = 120, 20
+    cl = np.abs(rng.standard_normal(lmax)) + .1
+    clte = rng.standard_normal(lmax) * .1
+    f = 1. / (np.abs(rng.standard_normal(lmax)) + .5)
+    lps = np.array([1, 10, 30, 60, 120])
+    Ls = np.array([2., 10., 40., 80., 110., 120.])
+    for kA, kB in (('ptt', 'ptt'), ('peb', 'pee'), ('xtt', 'ptt'), ('stt', 'stt')):
+        ref = np.array([float(n1kern.n1L(
+            L, kA, kB, 'p', cl, cl, clte, cl, cl, clte, cl,
+            f, f, f, f, f, f, 2, 2, dL, lps)) for L in Ls])
+        bat = n1kern.n1L_batch(Ls, kA, kB, 'p', cl, cl, clte, cl, cl, clte, cl,
+                               f, f, f, f, f, f, 2, 2, dL, lps, chunk=4)
+        assert np.allclose(ref, bat, rtol=1e-10, atol=1e-30), (kA, kB)
+
+
+def test_n1L_jtp_batch_matches_per_L():
+    """The spec-batched all-combinations program must equal the per-combination,
+    per-L jtp kernel calls, including legs of unequal band limits (zero-padding)."""
+    rng = np.random.RandomState(1)
+    lmax, dL = 100, 20
+    cl = np.abs(rng.standard_normal(lmax)) + .1
+    clte = rng.standard_normal(lmax) * .1
+    lps = np.array([1, 10, 30, 60, 100])
+    Ls = np.array([2., 20., 60., 100.])
+    combos = []
+    for i, fields in enumerate(('ttee', 'tetb', 'ebte', 'bbtt')):
+        n = lmax if i != 1 else lmax - 30   # one combo with a shorter A-side leg
+        fs = [1. / (np.abs(rng.standard_normal(n)) + .5) for _ in range(2)] \
+            + [1. / (np.abs(rng.standard_normal(lmax)) + .5) for _ in range(2)]
+        combos.append((fields,) + tuple(fs))
+    bat = n1kern.n1L_jtp_batch(Ls, 'ptt', 'ptt', combos, 'p', cl, cl, clte, cl,
+                               cl, clte, cl, 1, 1, dL, lps)
+    for i, (fields, fX, fY, fI, fJ) in enumerate(combos):
+        Xp, Yp, Ip, Jp = fields
+        ref = np.array([float(n1kern.n1L_jtp(
+            L, 'ptt', 'ptt', Xp, Yp, Ip, Jp, 'p', cl, cl, clte, cl, cl, clte, cl,
+            fX, fY, fI, fJ, 1, 1, dL, lps)) for L in Ls])
+        assert np.allclose(ref, bat[i], rtol=1e-9, atol=1e-30), fields
