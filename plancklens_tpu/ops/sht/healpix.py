@@ -292,22 +292,18 @@ class HealpixSHT:
         return jnp.conj(self._map_to_rings(m1)) + 1j * jnp.conj(self._map_to_rings(m2))
 
 
-def pixwin(nside, lmax):
-    """Approximate HEALPix pixel window function (the role of healpy's tabulated
-    hp.pixwin, reference usage: params/smicadx12_planck2018.py:37).
+def pixwin(nside, lmax, pol=False):
+    """HEALPix pixel window function (the role of healpy's tabulated hp.pixwin,
+    reference usage: params/smicadx12_planck2018.py:37).
 
-    Azimuthally-averaged circular-tophat model of a pixel of area Omega = 4 pi / npix:
-    W_l = (P_{l-1}(x0) - P_{l+1}(x0)) / ((2 l + 1)(1 - x0)), x0 = 1 - Omega / (2 pi).
-    Agrees with the tabulated window to sub-percent for l <~ 2 nside (the window is a
-    sub-percent beam correction there in the first place); healpy's files remain the
-    exact reference for per-mille work.
+    Exact per-pixel boundary-integral evaluation from :mod:`.pixwin` (shipped
+    nside-128 table, self-similar rescale above — the same exact-then-extrapolate
+    scheme healpy's own data files use); see that module for the method and its
+    validation.  The pre-round-5 azimuthally-averaged tophat model survives as
+    ``pixwin.pixwin_tophat`` (sub-percent for l <~ 2 nside).
     """
-    from scipy.special import eval_legendre
-    x0 = 1. - (4. * np.pi / (12 * nside ** 2)) / (2. * np.pi)
-    ls = np.arange(lmax + 1)
-    pm1 = np.where(ls == 0, 1., eval_legendre(np.maximum(ls - 1, 0), x0))
-    pp1 = eval_legendre(ls + 1, x0)
-    return (pm1 - pp1) / (2. * ls + 1.) / (1. - x0)
+    from .pixwin import pixwin as _pixwin_exact_tabulated
+    return _pixwin_exact_tabulated(nside, lmax, pol=pol)
 
 
 def resample_to_rings(m, nside, geom):
