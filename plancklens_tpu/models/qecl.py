@@ -169,29 +169,34 @@ class QeClLib:
         return {'qeA': self.qeA.hashdict(), 'qeB': self.qeB.hashdict(),
                 'mc_sims_mf': mchash(self.mc_sims_mf)}
 
-    def _mf(self, leg, k, exclude=None):
-        """Mean-field of one leg; `exclude` drops that sim index from the MF set
-        (the leave-one-out path of get_sim_qcl(..., leave_out=True))."""
+    def _mf(self, leg, k, exclude=()):
+        """Mean-field of one leg; `exclude` (iterable of sim indices) drops those sims
+        from the MF set (the leave-one-out path of get_sim_qcl(..., leave_out=True))."""
         mcs = self.mc_sims_mf[0::2] if leg == 'A' else self.mc_sims_mf[1::2]
-        if exclude is not None:
-            mcs = mcs[mcs != exclude]
+        for e in exclude:
+            mcs = mcs[mcs != e]
         if len(mcs) == 0:
             return None
         qlib = self.qeA if leg == 'A' else self.qeB
         return qlib.get_sim_qlm_mf(k, mcs)
 
     def _check_mf_containment(self, idx, idx2, leave_out):
-        """Reference guard (plancklens/qecl.py:102): a sim inside a leg's MF half
-        correlates with that MF estimate and silently biases its spectrum."""
-        inA = idx in self.mc_sims_mf[0::2]
-        inB = idx2 in self.mc_sims_mf[1::2]
-        if (inA or inB) and not leave_out:
+        """Reference guard (plancklens/qecl.py:102): a spectrum sim appearing in
+        *either* leg's MF half correlates with that MF estimate and silently biases
+        the spectrum (the <q(idx), mf> disconnected term exists whichever leg's MF
+        contains it), so both idx and idx2 are checked against the full mc_sims_mf.
+
+        Returns the per-leg leave-one-out exclusion tuples (sims among {idx, idx2}
+        present in that leg's half)."""
+        bad = [i for i in {idx, idx2} if i in self.mc_sims_mf]
+        if bad and not leave_out:
             raise ValueError(
-                'sim %d is inside the mean-field set (leg %s): its qcl would be biased '
+                'sim %s is inside the mean-field set: its qcl would be biased '
                 'by the MF-leg correlation. Use a sim outside mc_sims_mf, or pass '
-                'leave_out=True for the leave-one-out mean-field.'
-                % (idx if inA else idx2, 'A' if inA else 'B'))
-        return (idx if inA else None), (idx2 if inB else None)
+                'leave_out=True for the leave-one-out mean-field.' % bad)
+        exclA = tuple(i for i in bad if i in self.mc_sims_mf[0::2])
+        exclB = tuple(i for i in bad if i in self.mc_sims_mf[1::2])
+        return exclA, exclB
 
     def get_sim_qcl(self, k1, idx, k2=None, idx2=None, leave_out=False):
         """MF-subtracted QE cross-spectrum of sims idx (leg A) and idx2 (leg B).
@@ -204,7 +209,7 @@ class QeClLib:
             idx2 = idx
         exclA, exclB = self._check_mf_containment(idx, idx2, leave_out)
         fn = 'qcl_%s_%s_%04d_%04d' % (k1, k2, idx, idx2)
-        if exclA is not None or exclB is not None:
+        if exclA or exclB:
             fn += '_loo'
         if not self.cacher.is_cached(fn):
             qA = self.qeA.get_sim_qlm(k1, idx)

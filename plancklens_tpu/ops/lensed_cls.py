@@ -37,8 +37,9 @@ def lensed_cls(cls_unl, clpp, lmax_out=None, nterms=2, delta_cls=False):
         cls_unl: dict with unlensed 'tt', 'ee', 'bb', 'te'
         clpp: lensing potential spectrum C_L^phiphi
         lmax_out: output band limit (defaults to input lmax - 500: the band-limit
-            buffer that keeps BB sub-0.1% — see the module docstring; explicit
-            lmax_out closer to the input lmax trades that accuracy away knowingly)
+            buffer that keeps BB sub-0.1% — see the module docstring; for inputs
+            too short to afford it the default degrades to min(lmax - 50, 500);
+            explicit lmax_out closer to the input lmax trades accuracy knowingly)
         nterms: order in Cgl,2 kept (2 recommended; 3 changes BB by <4e-6 relative)
         delta_cls: return the lensing-induced difference (lensed - unlensed) instead of
             the lensed spectra (camb.correlations.lensed_cls delta_cls convention)
@@ -49,7 +50,10 @@ def lensed_cls(cls_unl, clpp, lmax_out=None, nterms=2, delta_cls=False):
     lmax = len(cls_unl['tt']) - 1
     lmaxp = len(clpp) - 1
     if lmax_out is None:
-        lmax_out = max(lmax - 500, 1)
+        # the 500 buffer keeps BB sub-0.1% (module docstring); for short inputs where
+        # that would leave no band at all, degrade gracefully to the minimal-buffer
+        # default rather than return an l <= 1 stub
+        lmax_out = max(lmax - 500, min(lmax - 50, 500), 1)
     npts = nquad_for(2 * max(lmax, lmaxp) + lmax_out)
     xg, wg = gauleg(npts)
     tok = ('gl', npts)

@@ -21,9 +21,13 @@ from functools import partial
 
 
 def _cl_at(cl, li, lmin, lmax):
-    """cl[l-1] lookup with [lmin, lmax] bounds mask (Fortran 1-based convention)."""
+    """cl[l-1] lookup with [lmin, lmax] bounds mask (Fortran 1-based convention).
+
+    l beyond the array's own band limit reads as 0 (not a clamped last entry), so a
+    leg array shorter than the lmax another leg sets behaves as zero-padded — the
+    convention n1L_jtp_batch implements explicitly."""
     idx = jnp.clip(li - 1, 0, cl.shape[0] - 1)
-    ok = (li >= lmin) & (li <= lmax)
+    ok = (li >= lmin) & (li <= lmax) & (li <= cl.shape[0])
     return jnp.where(ok, cl[idx], 0.)
 
 

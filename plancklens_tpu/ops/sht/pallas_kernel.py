@@ -744,8 +744,7 @@ def legendre_anal_pair_pallas(Qp, Qm, spin, theta, lmax, t_m, t_p, interpret=Fal
             m_m['alpha'], m_m['beta'], m_m['gamma'], None, None, None,
             m_m['l0'], None, m_m['seed_v'], m_m['seed_k'], None, None,
             m_m['x'], Qpn, Qps, None, None)
-        A = jnp.moveaxis(_unfold_cplx(jnp.moveaxis(A2, 1, 0), B), 1, 0)
-        return jnp.moveaxis(A, 0, 1), None
+        return _unfold_cplx(jnp.moveaxis(A2, 1, 0), B), None  # (B, lmax+1, M)
     m_p = _tb32(t_p)
     Qmn, Qms = (jnp.zeros_like(Qpn), jnp.zeros_like(Qps)) if Qm is None \
         else fold(jnp.asarray(Qm))

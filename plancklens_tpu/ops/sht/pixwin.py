@@ -96,16 +96,18 @@ def _ring_Gm(nside, i, mmax, k=12):
     h = np.pi / (4. * nside)
     whw = h - np.abs(y - y_c)                       # projection half-width at node
     ms = np.arange(mmax + 1, dtype=np.float64)
+    # int_{phi_c-hw}^{phi_c+hw} e^{-im phi} dphi = 2 e^{-im phi_c} sin(m hw)/m: only
+    # the phase depends on the shape offset d, so weight x amplitude is hoisted
+    phi_hw = whw / sigma                            # sphere half-width (sigma=1 in belt)
+    amp = np.where(ms[None, :] > 0,
+                   2. * np.sin(ms[None, :] * phi_hw[:, None])
+                   / np.where(ms[None, :] > 0, ms[None, :], 1.),
+                   2. * phi_hw[:, None])
+    wamp = cw[:, None] * amp
     G = np.empty((len(shapes), len(y), mmax + 1), dtype=np.complex128)
     for s, (d, _) in enumerate(shapes):
-        phi_hw = whw / sigma                        # sphere half-width (sigma=1 in belt)
         phi_c = (d * h) / sigma                     # sphere centre offset (phi_face = 0)
-        # int_{phi_c-hw}^{phi_c+hw} e^{-im phi} dphi = 2 e^{-im phi_c} sin(m hw)/m
-        amp = np.where(ms[None, :] > 0,
-                       2. * np.sin(ms[None, :] * phi_hw[:, None])
-                       / np.where(ms[None, :] > 0, ms[None, :], 1.),
-                       2. * phi_hw[:, None])
-        G[s] = cw[:, None] * amp * np.exp(-1j * ms[None, :] * phi_c[:, None])
+        G[s] = wamp * np.exp(-1j * ms[None, :] * phi_c[:, None])
     return G, theta, np.array([m for _, m in shapes], dtype=np.float64)
 
 
@@ -190,11 +192,15 @@ def _exact_table(nside, pol=False):
         out = tuple(out) if pol else out
     else:
         out = pixwin_exact(nside, 4 * nside, pol=pol)
-        try:  # write-back so the exact evaluation is paid at most once per install
-            os.makedirs(_TABLE_DIR, exist_ok=True)
-            np.save(fn, np.stack(out) if pol else out)
-        except OSError:
-            pass
+        # write-back so the exact evaluation is paid at most once per install — but
+        # only at full precision: without x64 the evaluation ran at f32 (~1e-7), and
+        # persisting it would poison later f64 runs with a degraded "exact" table
+        if jax.config.jax_enable_x64:
+            try:
+                os.makedirs(_TABLE_DIR, exist_ok=True)
+                np.save(fn, np.stack(out) if pol else out)
+            except OSError:
+                pass
     _MEM_CACHE[key] = out
     return out
 

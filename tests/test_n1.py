@@ -241,6 +241,10 @@ def test_n1L_jtp_batch_matches_per_L():
         n = lmax if i != 1 else lmax - 30   # one combo with a shorter A-side leg
         fs = [1. / (np.abs(rng.standard_normal(n)) + .5) for _ in range(2)] \
             + [1. / (np.abs(rng.standard_normal(lmax)) + .5) for _ in range(2)]
+        if i == 2:                          # and one with UNEQUAL B-side legs:
+            fs[3] = fs[3][:lmax - 25]       # len(fJ) < len(fI) = lmaxB, so the single-
+            # call path must read the missing fJ band as zero (not a clamped last
+            # entry) to agree with the batch kernel's explicit zero-padding
         combos.append((fields,) + tuple(fs))
     bat = n1kern.n1L_jtp_batch(Ls, 'ptt', 'ptt', combos, 'p', cl, cl, clte, cl,
                                cl, clte, cl, 1, 1, dL, lps)

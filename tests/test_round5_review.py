@@ -97,9 +97,24 @@ def test_qecl_mf_containment_guard_and_leave_one_out():
         lib.get_sim_qcl('ptt', 0)
     with pytest.raises(ValueError):
         lib.get_sim_qcl_batch('ptt', [0, 1])
-    # sim outside the MF set is fine
+    # cross-leg containment: the bias term <q(idx), mf_other_leg> exists whichever
+    # leg's MF half contains the sim, so these must raise too
+    with pytest.raises(ValueError):
+        lib.get_sim_qcl('ptt', 1, idx2=20)   # 1 is in the B half, used as leg-A sim
+    with pytest.raises(ValueError):
+        lib.get_sim_qcl('ptt', 20, idx2=0)   # 0 is in the A half, used as leg-B sim
+    # sim outside the MF set is fine (as is the data index -1)
     out = lib.get_sim_qcl('ptt', 20)
     assert np.all(np.isfinite(out))
+    # cross-leg leave-one-out: sim 1 (B half) excluded from the B mean-field
+    loo_x = lib.get_sim_qcl('ptt', 1, idx2=20, leave_out=True)
+    from plancklens_tpu.utils import alm as _ualm
+    mcsB = mf_sims[1::2]
+    mfA_x = qe.get_sim_qlm_mf('ptt', mf_sims[0::2])
+    mfB_x = qe.get_sim_qlm_mf('ptt', mcsB[mcsB != 1])
+    exp_x = np.asarray(_ualm.alm2cl(qe.get_sim_qlm('ptt', 1) - mfA_x, qe.lmax_qlm,
+                                    alm2=qe.get_sim_qlm('ptt', 20) - mfB_x))
+    assert np.allclose(loo_x, exp_x, rtol=1e-12)
     # leave-one-out: MF of leg A recomputed without idx -> matches manual computation
     loo = lib.get_sim_qcl('ptt', 2, leave_out=True)
     from plancklens_tpu.utils import alm as ualm
