@@ -19,6 +19,17 @@ from ..utils.cls import cli
 from ..utils.hashing import clhash
 
 
+def base_ivfs(ivfs):
+    """Unwrap decorator views (IVFFtl / IVFFml / IVFShuffle-style, which forward through
+    an `ivfs` attribute) down to the first library exposing `get_fmask` — the library
+    that knows the sky mask.  Returns the innermost library reached (which may still
+    lack get_fmask, e.g. a purely harmonic full-sky library)."""
+    base = ivfs
+    while not hasattr(base, 'get_fmask') and hasattr(base, 'ivfs'):
+        base = base.ivfs
+    return base
+
+
 class IVFSepTP:
     """Isotropic full-sky filtering with independent T and E/B filters, harmonic inputs.
 

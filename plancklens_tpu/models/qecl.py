@@ -224,6 +224,26 @@ class QeClLib:
             self.cacher.cache(fn, np.asarray(cl))
         return np.asarray(self.cacher.load(fn))
 
+    def get_dat_qcl(self, k1, k2=None):
+        """qcl of the data map (index -1 convention; reference: plancklens/qecl.py:120-124)."""
+        return self.get_sim_qcl(k1, -1, k2=k2)
+
+    def get_lmaxqcl(self, k1, k2):
+        """Band limit of the (k1, k2) cross-spectrum (reference: plancklens/qecl.py:78-79)."""
+        return min(self.qeA.get_lmax_qlm(k1), self.qeB.get_lmax_qlm(k2))
+
+    def load_sim_qcl(self, k1, idx, k2=None, idx2=None):
+        """get_sim_qcl without triggering its calculation: loads the cached spectrum or
+        raises KeyError (reference: plancklens/qecl.py:81-83, calc=False)."""
+        if k2 is None:
+            k2 = k1
+        if idx2 is None:
+            idx2 = idx
+        fn = 'qcl_%s_%s_%04d_%04d' % (k1, k2, idx, idx2)
+        if not self.cacher.is_cached(fn):
+            raise KeyError('qcl not computed yet: %s (use get_sim_qcl)' % fn)
+        return np.asarray(self.cacher.load(fn))
+
     def get_sim_stats_qcl(self, k1, mc_sims, k2=None):
         """stats accumulator of the qcl over the given sims
         (reference: plancklens/qecl.py:126-145)."""
@@ -289,6 +309,9 @@ class InputPlmLib:
     def get_sim_qlm_batch(self, k, idxs):
         return jnp.stack([self.get_sim_qlm(k, int(i)) for i in np.atleast_1d(idxs)])
 
+    def get_lmax_qlm(self, k):
+        return self.lmax_qlm
+
 
 class _FullSkyLeg:
     """Marker leg with no mask: QeClLib._fskies treats it as the full sky."""
@@ -316,6 +339,15 @@ class QeClAverage:
         for w, lib in zip(self.weights, self.libs):
             ret = ret + w * lib.get_sim_qcl(k1, idx, k2=k2, idx2=idx2)
         return ret
+
+    def get_dat_qcl(self, k1, k2=None):
+        """Weighted average of the member libraries' data-map qcls
+        (reference: plancklens/qecl.py:197-202)."""
+        return self.get_sim_qcl(k1, -1, k2=k2)
+
+    def get_lmaxqcl(self, k1, k2):
+        """Common band limit across the member libraries (reference: plancklens/qecl.py:175-176)."""
+        return min(lib.get_lmaxqcl(k1, k2) for lib in self.libs)
 
     def get_sim_stats_qcl(self, k1, mc_sims, k2=None):
         st = stats(self.lmax_qlm + 1, docov=False)

@@ -197,6 +197,78 @@ class QELib:
             h['profile'] = clhash(self.profile)
         return h
 
+    # The reference's 30 fundamental keys (reference: plancklens/qest.py:109-114);
+    # pinned one-by-one against the reference list in tests.
+    keys_fund = ['ptt', 'xtt', 'p_p', 'x_p', 'p', 'x', 'stt', 's', 'ftt', 'f_p', 'f',
+                 'dtt', 'ntt', 'a_p',
+                 'pte', 'pet', 'ptb', 'pbt', 'pee', 'peb', 'pbe', 'pbb',
+                 'xte', 'xet', 'xtb', 'xbt', 'xee', 'xeb', 'xbe', 'xbb']
+
+    def get_fundkeys(self, k_list):
+        """Fundamental estimator keys entering one or several (possibly composite /
+        bias-hardened) keys, order-preserving and de-duplicated (reference:
+        plancklens/qest.py:122-141)."""
+        ks = k_list if isinstance(k_list, list) else [k_list]
+        ret = []
+        for k in ks:
+            if k in self.keys_fund:
+                ret.append(k)
+            elif '_tp' in k:
+                ret += [k[0] + 'tt', k[0] + '_p']
+            elif '_bh_' in k:
+                kQE, ksource = k.split('_bh_')
+                ret += [kQE, ksource + kQE[1:]]
+            elif k in ['p_te', 'p_tb', 'p_eb', 'x_te', 'x_tb', 'x_eb']:
+                ret += [k[0] + k[2] + k[3], k[0] + k[3] + k[2]]
+            else:
+                raise ValueError('unknown estimator key: %s' % k)
+        return list(dict.fromkeys(ret))
+
+    def get_lmax_qlm(self, k):
+        """Output band limit of estimator k (reference: plancklens/qest.py:147-149 —
+        here a single band limit serves every key)."""
+        return self.lmax_qlm
+
+    def get_dat_qlm(self, k, **kwargs):
+        """QE on the data map (index -1 convention; reference: plancklens/qest.py:203)."""
+        return self.get_sim_qlm(k, -1, **kwargs)
+
+    def get_mask(self, leg):
+        """Sky mask of leg 1 or 2 (full-sky scalar 1. when the filtering library carries
+        no mask; reference: plancklens/qest.py:151-153)."""
+        assert leg in (1, 2), leg
+        from .filt import base_ivfs
+        base = base_ivfs(self.ivfs1 if leg == 1 else self.ivfs2)
+        return np.asarray(base.get_fmask()) if hasattr(base, 'get_fmask') else 1.
+
+    def get_fsky(self, id):
+        """Mask-product sky fractions <m_i m_j> for id in {11, 22, 12} (reference:
+        plancklens/qest.py:86-105,143-145).  Ring-grid masks are quadrature-weighted."""
+        assert id in (11, 22, 12), id
+        if not hasattr(self, '_fskies'):
+            from .filt import base_ivfs
+            ms, geom = [], None
+            for ivfs in (self.ivfs1, self.ivfs2):
+                base = base_ivfs(ivfs)
+                ms.append(np.asarray(base.get_fmask())
+                          if hasattr(base, 'get_fmask') else None)
+                geom = getattr(getattr(base, 'cinv_t', None), 'geom', None) or geom
+            shapes = {m.shape for m in ms if m is not None}
+            if not shapes:
+                self._fskies = {11: 1., 22: 1., 12: 1.}
+            else:
+                shape = shapes.pop()
+                ms = [np.ones(shape) if m is None else m for m in ms]
+                if geom is not None:
+                    w = np.outer(np.asarray(geom.weight),
+                                 np.full(ms[0].shape[-1], 2. * np.pi / ms[0].shape[-1]))
+                    mean = lambda m: float(np.sum(m * w) / (4. * np.pi))
+                else:
+                    mean = lambda m: float(np.mean(m))
+                self._fskies = {11: mean(ms[0] * ms[0]), 22: mean(ms[1] * ms[1]),
+                                12: mean(ms[0] * ms[1])}
+        return self._fskies[id]
+
     def _get_alm_fn(self, ivfs, idx):
         def get_alm(f):
             return {'t': ivfs.get_sim_tlm, 'e': ivfs.get_sim_elm,

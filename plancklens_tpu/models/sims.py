@@ -103,6 +103,16 @@ class CMBUnlLib:
     def get_sim_plm(self, idx):
         return self.get_sim_alms(idx)[self._field_index('p')]
 
+    def get_sim_olm(self, idx):
+        """Curl deflection potential (field rotation) alm ω_lm — drawn whenever 'o' is
+        in `fields` and the cls carry 'oo' (reference: plancklens/sims/cmbs.py:79-81)."""
+        return self.get_sim_alms(idx)[self._field_index('o')]
+
+    def get_sim_alm(self, idx, field):
+        """Generic per-field accessor (reference: plancklens/sims/cmbs.py:71-77)."""
+        assert field in self.fields, (field, self.fields)
+        return self.get_sim_alms(idx)[self._field_index(field)]
+
 
 class MapsNlevLib:
     """Beam-convolved CMB + homogeneous white noise, in harmonic space.
@@ -159,6 +169,23 @@ class MapsNlevLib:
     def get_sim_blm(self, idx):
         return self._obs(*self._keys(idx))[2]
 
+    def _noise(self, idx, i):
+        """Noise-only alm of sim idx (0=t, 1=e, 2=b), the exact realisation entering
+        the observed alm: obs = b_l cmb + noise holds identically (reference:
+        plancklens/sims/maps.py:246-275 get_sim_{t,e,b}noise)."""
+        alms = unit_phases(self._keys(idx)[1], 3, self.lmax)
+        sig = (self.nlev_t if i == 0 else self.nlev_p) / 60. / 180. * np.pi
+        return alms[i] * sig
+
+    def get_sim_tnoise(self, idx):
+        return self._noise(idx, 0)
+
+    def get_sim_enoise(self, idx):
+        return self._noise(idx, 1)
+
+    def get_sim_bnoise(self, idx):
+        return self._noise(idx, 2)
+
     def get_sim_teblm_batch(self, idxs):
         ks = [self._keys(int(i)) for i in np.atleast_1d(idxs)]
         ck = jnp.stack([k[0] for k in ks])
@@ -203,12 +230,32 @@ class CMBLenLib:
         plm = self.unl_lib.get_sim_plm(idx)
         return ualm.alm_copy(plm, self.lmax_unl, self.lmax)
 
+    def get_sim_olm(self, idx):
+        """Curl deflection potential alm of sim idx, band-limited to lmax.  Unlike the
+        reference — which draws ω but asserts 'not implemented' in the lensing path
+        (plancklens/sims/cmbs.py:79-81,196) — here a drawn ω also DEFLECTS the maps
+        (ops.lensing.deflection_field's curl term)."""
+        from ..utils import alm as ualm
+        olm = self.unl_lib.get_sim_olm(idx)
+        return ualm.alm_copy(olm, self.lmax_unl, self.lmax)
+
+    def get_sim_alm(self, idx, field):
+        """Generic per-field accessor (reference: plancklens/sims/cmbs.py:169-182)."""
+        return {'t': self.get_sim_tlm, 'e': self.get_sim_elm, 'b': self.get_sim_blm,
+                'p': self.get_sim_plm, 'o': self.get_sim_olm}[field](idx)
+
+    def _olm_unl(self, alms):
+        """Curl potential entering the deflection (None when 'o' is not simulated)."""
+        if 'o' not in self.unl_lib.fields:
+            return None
+        return alms[self.unl_lib._field_index('o')]
+
     def get_sim_tmap(self, idx):
         """Lensed temperature map on the geometry."""
         alms = self.unl_lib.get_sim_alms(idx)
         it = self.unl_lib._field_index('t')
         ip = self.unl_lib._field_index('p')
-        return self.lensing.alm2lenmap(alms[it], alms[ip])[0]
+        return self.lensing.alm2lenmap(alms[it], alms[ip], olm=self._olm_unl(alms))[0]
 
     def get_sim_pmap(self, idx):
         """Lensed (Q, U) maps on the geometry."""
@@ -216,7 +263,8 @@ class CMBLenLib:
         ie = self.unl_lib._field_index('e')
         ib = self.unl_lib._field_index('b')
         ip = self.unl_lib._field_index('p')
-        q, u = self.lensing.alm2lenmap_spin((alms[ie], alms[ib]), alms[ip], 2)
+        q, u = self.lensing.alm2lenmap_spin((alms[ie], alms[ib]), alms[ip], 2,
+                                            olm=self._olm_unl(alms))
         return q[0], u[0]
 
     def get_sim_tlm(self, idx):
@@ -547,3 +595,24 @@ class MapsLenNlevLib:
                                    dtype=q.dtype)
         sig = jnp.asarray(self._sig_p)
         return q + nq * sig, u + nu * sig
+
+    def get_sim_tnoise(self, idx):
+        """Noise-only T map of sim idx — the exact realisation entering get_sim_tmap
+        (reference: plancklens/sims/maps.py:136-148 get_sim_tnoise)."""
+        shape = (len(self.geom.theta), self.geom.nphi)
+        noise = jax.random.normal(self._noise_key(idx, 0), shape)
+        return noise * jnp.asarray(self._sig_t)
+
+    def _pnoise(self, idx):
+        shape = (len(self.geom.theta), self.geom.nphi)
+        nq, nu = jax.random.normal(self._noise_key(idx, 1), (2,) + shape)
+        sig = jnp.asarray(self._sig_p)
+        return nq * sig, nu * sig
+
+    def get_sim_qnoise(self, idx):
+        """Noise-only Q map (reference: plancklens/sims/maps.py:150-160)."""
+        return self._pnoise(idx)[0]
+
+    def get_sim_unoise(self, idx):
+        """Noise-only U map (reference: plancklens/sims/maps.py:162-172)."""
+        return self._pnoise(idx)[1]
