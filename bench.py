@@ -381,6 +381,8 @@ class Bench:
             'this engine, one CPU core of this host, lmax-%d probe scaled by the '
             'engine\'s verified ~lmax^3 work scaling (0.73 s @512 -> 6.7 s @1024 '
             'measured = x9.2 per doubling)' % lmax_probe)
+        self.x['cpu_baseline_provenance'] = 'measured live this run'
+        _save_baseline_cache({k: self.x[k] for k in _BASELINE_KEYS if k in self.x})
 
     def arm_cinv_baseline(self):
         """Live masked cinv solve on this host's CPU: measured seconds AND iteration
@@ -390,10 +392,54 @@ class Bench:
             raise RuntimeError('cinv live subprocess failed')
         self.x['cinv_cpu_sec_to_1e-5_lmax192_measured'] = round(sec, 1)
         self.x['cinv_iters_lmax192_live'] = {'f32': iters, 'f32_final_rel': rel}
+        _save_baseline_cache({k: self.x[k] for k in _BASELINE_KEYS if k in self.x})
+
+
+# Measured-baseline keys persisted to BENCH_BASELINES.json (committed): one good live
+# measurement serves every later run, so a tight external deadline or a loaded host
+# can never push `vs_baseline` back onto the literature guess. Live values always win.
+_BASELINE_KEYS = (
+    'cpu_spin2_synth_ms_lmax1024_measured', 'cpu_spin2_synth_ms_lmax2048',
+    'cpu_qe_ptt_step_ms_lmax1024_measured', 'cpu_qe_ptt_sec_lmax2048',
+    'cpu_baseline_note', 'cinv_cpu_sec_to_1e-5_lmax192_measured',
+    'cinv_iters_lmax192_live',
+)
+
+
+def _baseline_cache_path():
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        'BENCH_BASELINES.json')
+
+
+def _load_baseline_cache():
+    try:
+        with open(_baseline_cache_path()) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _save_baseline_cache(vals):
+    if not vals:
+        return
+    try:
+        cur = _load_baseline_cache()
+        cur.update(vals)
+        with open(_baseline_cache_path(), 'w') as f:
+            json.dump(cur, f, indent=1, sort_keys=True)
+    except Exception:
+        pass  # a read-only checkout must not break the bench
 
 
 def _compose(x):
     """Derived metrics from whatever arms have landed (idempotent)."""
+    cached = _load_baseline_cache()
+    if cached and any(k not in x for k in _BASELINE_KEYS if k in cached):
+        x.setdefault('cpu_baseline_provenance',
+                     'cached: measured on this host by a previous bench run '
+                     '(BENCH_BASELINES.json); live values override when they land')
+    for k, v in cached.items():
+        x.setdefault(k, v)
     qe_sec = x.get('qe_ptt_sec_per_est_lmax2048')
     it192 = (x.get('cinv_iters_lmax192_live') or {}).get('f32') \
         or RECORDED_ITERS['lmax192_dense64']['f32']
@@ -419,7 +465,7 @@ def _headline(synth_ms, x):
     base_ms = x.get('cpu_spin2_synth_ms_lmax2048')
     if base_ms:
         base_src = ('measured: this engine on one CPU core of this host '
-                    '(see cpu_baseline_note)')
+                    '(see cpu_baseline_note/cpu_baseline_provenance)')
         x['literature_baseline_ms'] = 2000.0
     else:
         base_ms = 2000.0
@@ -582,11 +628,16 @@ def _spawn_child(extra_env, budget):
     return proc, out, th
 
 
-def _wait_children(children, budget, stall=150, merge_every=20):
+def _wait_children(children, budget, stall=150, merge_every=20, stall_ids=None):
     """Babysit the children: kill a child at `budget` seconds or after `stall` seconds
-    without a new line from it (relay hang surfaces as silence). Every `merge_every`
-    seconds a MERGED snapshot of the two streams is printed, so a hard external kill at
-    any moment still leaves a complete-so-far merged line as the last parseable output."""
+    without a new line from it (relay hang surfaces as silence). The stall kill applies
+    only to procs in `stall_ids` (default: all) — a CPU child cannot relay-hang, and
+    its long measured-baseline arms are legitimately silent for minutes under host
+    load, so it gets the budget kill only. Every `merge_every` seconds a MERGED
+    snapshot of the two streams is printed, so a hard external kill at any moment
+    still leaves a complete-so-far merged line as the last parseable output."""
+    if stall_ids is None:
+        stall_ids = {id(c[0]) for c in children}
     t_start = time.time()
     state = {id(c[0]): (0, time.time()) for c in children}
     notes = {}
@@ -608,11 +659,12 @@ def _wait_children(children, budget, stall=150, merge_every=20):
             if len(out) != n_seen:
                 state[id(proc)] = (len(out), time.time())
                 t_last = time.time()
-            if time.time() - t_start > budget or time.time() - t_last > stall:
+            stalled = id(proc) in stall_ids and time.time() - t_last > stall
+            if time.time() - t_start > budget or stalled:
                 notes[id(proc)] = 'killed after %ds (%s)' % (
                     time.time() - t_start,
-                    'silent %ds: relay hang' % stall
-                    if time.time() - t_last > stall else 'budget %ds' % budget)
+                    'silent %ds: relay hang' % stall if stalled
+                    else 'budget %ds' % budget)
                 proc.kill()
     for proc, _, th in children:
         proc.wait()
@@ -665,7 +717,7 @@ def main():
     budget = max(60., DEADLINE - 30.)
     tpu = _spawn_child({}, budget)
     cpu = _spawn_child({'PLK_BENCH_CPUONLY': '1'}, budget)
-    notes = _wait_children([tpu, cpu], budget)
+    notes = _wait_children([tpu, cpu], budget, stall_ids={id(tpu[0])})
     out = _merge(_last_parseable(tpu[1]), _last_parseable(cpu[1]))
     if out is None:
         print(json.dumps({'metric': 'spin2_alm2map_ms_per_map_lmax2048_batch%d' % BATCH,
