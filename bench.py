@@ -423,8 +423,17 @@ def _save_baseline_cache(vals):
     if not vals:
         return
     try:
+        import platform
         cur = _load_baseline_cache()
-        cur.update(vals)
+        for k, v in vals.items():
+            # timing denominators keep the FASTEST measurement (min = least load
+            # noise; a contention-inflated baseline would flatter vs_baseline)
+            if (isinstance(v, (int, float)) and isinstance(cur.get(k), (int, float))
+                    and ('_ms' in k or '_sec' in k) and cur.get('host') == platform.node()):
+                cur[k] = min(cur[k], v)
+            else:
+                cur[k] = v
+        cur['host'] = platform.node()  # provenance: cached values are host-specific
         with open(_baseline_cache_path(), 'w') as f:
             json.dump(cur, f, indent=1, sort_keys=True)
     except Exception:
@@ -433,13 +442,25 @@ def _save_baseline_cache(vals):
 
 def _compose(x):
     """Derived metrics from whatever arms have landed (idempotent)."""
+    import platform
     cached = _load_baseline_cache()
     if cached and any(k not in x for k in _BASELINE_KEYS if k in cached):
-        x.setdefault('cpu_baseline_provenance',
-                     'cached: measured on this host by a previous bench run '
-                     '(BENCH_BASELINES.json); live values override when they land')
-    for k, v in cached.items():
-        x.setdefault(k, v)
+        src_host = cached.get('host')
+        if src_host == platform.node():
+            x.setdefault('cpu_baseline_provenance',
+                         'cached: measured on this host by a previous bench run '
+                         '(BENCH_BASELINES.json); live values override when they land')
+        else:
+            # the committed cache may come from another machine — never label a
+            # foreign CPU's numbers as this host's (the bench's baseline-honesty
+            # contract); a live cpu_baselines arm overrides and re-stamps the cache
+            x.setdefault('cpu_baseline_provenance',
+                         'cached: measured on host %r (BENCH_BASELINES.json), NOT '
+                         'this host — indicative only until a live bench run '
+                         're-measures here; live values override' % src_host)
+    for k in _BASELINE_KEYS:
+        if k in cached:
+            x.setdefault(k, cached[k])
     qe_sec = x.get('qe_ptt_sec_per_est_lmax2048')
     it192 = (x.get('cinv_iters_lmax192_live') or {}).get('f32') \
         or RECORDED_ITERS['lmax192_dense64']['f32']
@@ -464,8 +485,13 @@ def _compose(x):
 def _headline(synth_ms, x):
     base_ms = x.get('cpu_spin2_synth_ms_lmax2048')
     if base_ms:
-        base_src = ('measured: this engine on one CPU core of this host '
-                    '(see cpu_baseline_note/cpu_baseline_provenance)')
+        prov = x.get('cpu_baseline_provenance', '')
+        if 'NOT this host' in prov:
+            base_src = ('measured: this engine on one CPU core of the cache host, '
+                        'not this one (see cpu_baseline_provenance)')
+        else:
+            base_src = ('measured: this engine on one CPU core of this host '
+                        '(see cpu_baseline_note/cpu_baseline_provenance)')
         x['literature_baseline_ms'] = 2000.0
     else:
         base_ms = 2000.0

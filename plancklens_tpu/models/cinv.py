@@ -1224,10 +1224,16 @@ def parse_pre_op_descr(descr, cinv, dense_cacher=None, stages=None):
 
 
 def _split_top_level(s):
-    """Split a descriptor argument list on commas at paren depth 0."""
-    parts, depth, start = [], 0, 0
+    """Split a descriptor argument list on commas at paren depth 0, honouring quoted
+    strings (dense cache keys may carry commas, e.g. ``split(dense("a,b"), 64, ...)``)."""
+    parts, depth, start, quote = [], 0, 0, None
     for i, c in enumerate(s):
-        if c == '(':
+        if quote is not None:
+            if c == quote:
+                quote = None
+        elif c in '"\'':
+            quote = c
+        elif c == '(':
             depth += 1
         elif c == ')':
             depth -= 1
@@ -1235,7 +1241,7 @@ def _split_top_level(s):
         elif c == ',' and depth == 0:
             parts.append(s[start:i].strip())
             start = i + 1
-    assert depth == 0, 'unbalanced parens in descriptor: %r' % s
+    assert depth == 0 and quote is None, 'unbalanced descriptor: %r' % s
     parts.append(s[start:].strip())
     return parts
 

@@ -30,6 +30,49 @@ def base_ivfs(ivfs):
     return base
 
 
+def mask_geom(ivfs):
+    """(mask, geom) of a filtering library: the sky mask exposed by the innermost
+    `get_fmask` library (None for maskless legs) and the ring geometry its solver runs
+    on when discoverable (None otherwise).  Checks every cinv flavour the adapters
+    carry — `cinv_t`, `cinv_p` (pol-only libraries) and `cinv_tp` (joint T/P) — so
+    fsky means stay area-proportional for all of them."""
+    base = base_ivfs(ivfs)
+    m = np.asarray(base.get_fmask()) if hasattr(base, 'get_fmask') else None
+    if np.ndim(m) == 0:  # scalar full-sky sentinel
+        m = None
+    geom = getattr(base, 'geom', None)
+    if geom is None:
+        for attr in ('cinv_t', 'cinv_p', 'cinv_tp'):
+            g = getattr(getattr(base, attr, None), 'geom', None)
+            if g is not None:
+                geom = g
+                break
+    return m, geom
+
+
+def fsky_mean(mask_geoms):
+    """Aligned masks + area-proportional mean functional for a list of (mask, geom)
+    pairs as returned by :func:`mask_geom`.  Full-sky legs (mask None) become ones.
+    Returns (None, None) when no leg carries a mask, or when the legs' mask grids have
+    different shapes (callers degrade to fsky = 1 in both cases).  Ring grids are
+    quadrature-weighted — unlike healpix, ring pixels differ in area (reference
+    computes plain means on equal-area healpix grids, plancklens/qecl.py:40-49)."""
+    ms = [m for m, _ in mask_geoms]
+    shapes = {m.shape for m in ms if m is not None}
+    if not shapes or len(shapes) > 1:
+        return None, None
+    shape = shapes.pop()
+    ms = [np.ones(shape) if m is None else m for m in ms]
+    geom = next((g for _, g in mask_geoms if g is not None), None)
+    if geom is not None and len(shape) == 2 and len(np.asarray(geom.weight)) == shape[0]:
+        w = np.outer(np.asarray(geom.weight),
+                     np.full(shape[-1], 2. * np.pi / shape[-1]))
+        mean = lambda m: float(np.sum(m * w) / (4. * np.pi))
+    else:
+        mean = lambda m: float(np.mean(m))
+    return ms, mean
+
+
 class IVFSepTP:
     """Isotropic full-sky filtering with independent T and E/B filters, harmonic inputs.
 

@@ -135,31 +135,16 @@ class QeClLib:
         self.fsky22 = self.fskies[22]
 
     def _fskies(self):
-        ones = {10 * i + j: 1. for i in range(1, 5) for j in range(i, 5)}
-        ones[1234] = 1.
-        ms, geom = [], None
-        for ivfs in (self.qeA.ivfs1, self.qeA.ivfs2, self.qeB.ivfs1, self.qeB.ivfs2):
-            base = ivfs
-            while not hasattr(base, 'get_fmask') and hasattr(base, 'ivfs'):
-                base = base.ivfs  # unwrap IVFFtl / IVFShuffle-style views
-            # a maskless leg (e.g. the input-phi library of qlms_x_in) counts as the
-            # full sky; only when NO leg carries a mask are all fskies trivially 1
-            ms.append(np.asarray(base.get_fmask()) if hasattr(base, 'get_fmask')
-                      else None)
-            geom = getattr(getattr(base, 'cinv_t', None), 'geom', None) or geom
-        shapes = {m.shape for m in ms if m is not None}
-        if not shapes:
+        # a maskless leg (e.g. the input-phi library of qlms_x_in) counts as the full
+        # sky; when NO leg carries a mask (or the legs live on different grids) all
+        # fskies are trivially 1
+        from .filt import mask_geom, fsky_mean
+        ms, mean = fsky_mean([mask_geom(i) for i in (self.qeA.ivfs1, self.qeA.ivfs2,
+                                                     self.qeB.ivfs1, self.qeB.ivfs2)])
+        if ms is None:
+            ones = {10 * i + j: 1. for i in range(1, 5) for j in range(i, 5)}
+            ones[1234] = 1.
             return ones
-        if len(shapes) > 1:
-            return ones
-        shape = shapes.pop()
-        ms = [np.ones(shape) if m is None else m for m in ms]
-        if geom is not None:  # quadrature-weighted mean over the ring grid
-            w = np.outer(np.asarray(geom.weight), np.full(ms[0].shape[-1],
-                                                          2. * np.pi / ms[0].shape[-1]))
-            mean = lambda m: float(np.sum(m * w) / (4. * np.pi))
-        else:
-            mean = lambda m: float(np.mean(m))
         fskies = {10 * i + j: mean(ms[i - 1] * ms[j - 1])
                   for i in range(1, 5) for j in range(i, 5)}
         fskies[1234] = mean(ms[0] * ms[1] * ms[2] * ms[3])

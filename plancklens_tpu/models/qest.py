@@ -246,25 +246,11 @@ class QELib:
         plancklens/qest.py:86-105,143-145).  Ring-grid masks are quadrature-weighted."""
         assert id in (11, 22, 12), id
         if not hasattr(self, '_fskies'):
-            from .filt import base_ivfs
-            ms, geom = [], None
-            for ivfs in (self.ivfs1, self.ivfs2):
-                base = base_ivfs(ivfs)
-                ms.append(np.asarray(base.get_fmask())
-                          if hasattr(base, 'get_fmask') else None)
-                geom = getattr(getattr(base, 'cinv_t', None), 'geom', None) or geom
-            shapes = {m.shape for m in ms if m is not None}
-            if not shapes:
+            from .filt import mask_geom, fsky_mean
+            ms, mean = fsky_mean([mask_geom(i) for i in (self.ivfs1, self.ivfs2)])
+            if ms is None:  # maskless, or legs on different grids: degrade to 1
                 self._fskies = {11: 1., 22: 1., 12: 1.}
             else:
-                shape = shapes.pop()
-                ms = [np.ones(shape) if m is None else m for m in ms]
-                if geom is not None:
-                    w = np.outer(np.asarray(geom.weight),
-                                 np.full(ms[0].shape[-1], 2. * np.pi / ms[0].shape[-1]))
-                    mean = lambda m: float(np.sum(m * w) / (4. * np.pi))
-                else:
-                    mean = lambda m: float(np.mean(m))
                 self._fskies = {11: mean(ms[0] * ms[0]), 22: mean(ms[1] * ms[1]),
                                 12: mean(ms[0] * ms[1])}
         return self._fskies[id]

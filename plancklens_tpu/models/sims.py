@@ -598,14 +598,18 @@ class MapsLenNlevLib:
 
     def get_sim_tnoise(self, idx):
         """Noise-only T map of sim idx — the exact realisation entering get_sim_tmap
-        (reference: plancklens/sims/maps.py:136-148 get_sim_tnoise)."""
+        (reference: plancklens/sims/maps.py:136-148 get_sim_tnoise).  The draw dtype
+        must match the map-path dtype (the SHT engine's): jax.random.normal returns
+        different values, not rounded ones, per dtype."""
         shape = (len(self.geom.theta), self.geom.nphi)
-        noise = jax.random.normal(self._noise_key(idx, 0), shape)
+        noise = jax.random.normal(self._noise_key(idx, 0), shape,
+                                  dtype=self.len_lib.sht.dtype)
         return noise * jnp.asarray(self._sig_t)
 
     def _pnoise(self, idx):
         shape = (len(self.geom.theta), self.geom.nphi)
-        nq, nu = jax.random.normal(self._noise_key(idx, 1), (2,) + shape)
+        nq, nu = jax.random.normal(self._noise_key(idx, 1), (2,) + shape,
+                                   dtype=self.len_lib.sht.dtype)
         sig = jnp.asarray(self._sig_p)
         return nq * sig, nu * sig
 

@@ -198,7 +198,11 @@ def _exact_table(nside, pol=False):
         if jax.config.jax_enable_x64:
             try:
                 os.makedirs(_TABLE_DIR, exist_ok=True)
-                np.save(fn, np.stack(out) if pol else out)
+                # atomic write-back (tmp + rename): a kill mid-save must not leave a
+                # truncated .npy that poisons every later pixwin call for this nside
+                tmp = fn[:-len('.npy')] + '.tmp%d.npy' % os.getpid()  # np.save appends .npy otherwise
+                np.save(tmp, np.stack(out) if pol else out)
+                os.replace(tmp, fn)
             except OSError:
                 pass
     _MEM_CACHE[key] = out
